@@ -1,0 +1,128 @@
+"""End-to-end harness test: synthetic images -> icons -> SimpleCNN ->
+metrics -> reference-layout CSVs (SURVEY.md §4 'Inference-harness tests')."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wicca_tpu.config.constants import (
+    DEC_PRED,
+    ICON,
+    MODEL,
+    PRE_INP,
+    SHAPE,
+    SIM_BEST_CLASS,
+    SIM_CLASSES,
+    SIM_CLASSES_PERC,
+    SOURCE,
+)
+from wicca_tpu.analysis.results import (
+    compare_summaries,
+    extract_from_comparison,
+    get_short_comparison,
+    load_summary_results,
+)
+from wicca_tpu.harness.processor import ClassifierProcessor
+from wicca_tpu.models.registry import load_models, load_single_model
+
+
+@pytest.fixture(scope="module")
+def data_folder(tmp_path_factory):
+    import cv2
+
+    folder = tmp_path_factory.mktemp("images")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = rng.integers(0, 256, size=(96 + 16 * i, 128, 3), dtype=np.uint8)
+        cv2.imwrite(str(folder / f"img_{i}.png"), img)
+    (folder / "notes.txt").write_text("not an image")  # must be ignored
+    return folder
+
+
+@pytest.fixture(scope="module")
+def classifiers():
+    clfs = load_models({"tiny": ("SimpleCNN", {"shape": (64, 64)})})
+    assert clfs["tiny"] is not None
+    for key in (MODEL, PRE_INP, DEC_PRED, SHAPE):
+        assert key in clfs["tiny"]
+    return clfs
+
+
+def test_metrics_hand_computed():
+    mk = lambda names: [[("n0", n, 0.5) for n in names]]
+    results = {
+        "a.png": {SOURCE: mk(["cat", "dog", "fox"]), ICON: mk(["cat", "dog", "elk"])},
+        "b.png": {SOURCE: mk(["cat", "dog", "fox"]), ICON: mk(["owl", "cat", "elk"])},
+    }
+    df = get_short_comparison(results, top=3)
+    assert df[SIM_CLASSES].tolist() == [2, 1]
+    assert df[SIM_CLASSES_PERC].tolist() == pytest.approx([66.666, 33.333], abs=0.01)
+    assert df[SIM_BEST_CLASS].tolist() == [100.0, 0.0]
+
+
+def test_processor_end_to_end(data_folder, classifiers, tmp_path):
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=(1, 2),
+        interpolation=3,
+        top_classes=5,
+        results_folder=tmp_path / "results",
+        log_info=False,
+        batch_size=4,
+    )
+    out = proc.process_classifiers(classifiers)
+    assert set(out) == {"tiny"}
+    name, sum_df = out["tiny"]
+    assert name == "tiny"
+    assert list(sum_df.index) == ["mean", "min", "max"]
+
+    for depth in (1, 2):
+        base = tmp_path / "results" / f"depth-{depth}"
+        assert (base / f"tiny-depth-{depth}.csv").is_file()
+        assert (base / f"tiny-summary-depth-{depth}.csv").is_file()
+        df = pd.read_csv(base / f"tiny-depth-{depth}.csv")
+        assert {SIM_CLASSES, SIM_CLASSES_PERC, SIM_BEST_CLASS} <= set(df.columns)
+        assert len(df) == 6  # txt file skipped
+
+    # identical model on source vs icon of depth-1 should agree often; at
+    # minimum metrics are within [0, 100]
+    loaded = load_summary_results(tmp_path / "results", "tiny", 1)
+    assert loaded is not None
+
+    comp = compare_summaries(tmp_path / "results", ["tiny"], (1, 2))
+    assert len(comp) == 2
+    names, vals = extract_from_comparison(comp, SIM_CLASSES_PERC)
+    assert names == ["tiny", "tiny"]
+    assert all(0.0 <= v <= 100.0 for v in vals)
+
+
+def test_process_single_classifier(data_folder, classifiers, tmp_path):
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=1,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "results2",
+        log_info=False,
+    )
+    out = proc.process_single_classifier("tiny", classifiers["tiny"])
+    assert "tiny" in out
+    # helpful-error path: missing classifier_dict
+    assert proc.process_single_classifier("tiny") is None
+
+
+def test_processor_rejects_bare_classifier(data_folder, classifiers, tmp_path):
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=1,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "results3",
+        log_info=False,
+    )
+    with pytest.raises(ValueError):
+        proc.process_classifiers(classifiers["tiny"])  # bare dict, not dict-of-dicts
+
+
+def test_load_single_model_bad_name():
+    assert load_single_model("NoSuchNet") is None

@@ -1,0 +1,89 @@
+"""End-to-end image codec: multi-level fused DWT+quantize encode, fused
+dequantize+IDWT decode (SURVEY.md §7 L4).
+
+The reference has no codec — it discards details and has no inverse
+(SURVEY.md §0). This is the north-star path (BASELINE.json): per-level Pallas
+kernels fused with quantization on TPU (jnp/interpret off-TPU), deadzone
+int8 detail codes, float32 LL carried losslessly until the final level.
+
+``encode`` -> :class:`CodeStream` (pytree; int8 detail planes + coarse LL)
+``decode`` -> reconstructed float32 image, cropped to the original dims.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from wicca_tpu.core.pad import pad_to_multiple, unpad
+from wicca_tpu.core.quant import QuantSpec
+from wicca_tpu.ops.dwt_pallas import dwt_level_quant_pallas, idwt_level_dequant_pallas
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ll", "details"],
+    meta_fields=["spec", "levels", "orig_shape"],
+)
+@dataclasses.dataclass(frozen=True)
+class CodeStream:
+    """Quantized multi-level representation. ``details[k]`` = (lh, hl, hh)
+    int8 codes of level k+1 (finest first); ``ll`` = float32 coarse band."""
+
+    ll: jax.Array
+    details: tuple[tuple[jax.Array, jax.Array, jax.Array], ...]
+    spec: QuantSpec
+    levels: int
+    orig_shape: tuple[int, int]
+
+    def num_bytes(self) -> int:
+        n = self.ll.size * self.ll.dtype.itemsize
+        for bands in self.details:
+            for b in bands:
+                n += b.size * b.dtype.itemsize
+        return n
+
+
+@partial(jax.jit, static_argnames=("levels", "spec", "mode", "constant"))
+def encode(
+    image: jax.Array,
+    levels: int = 5,
+    spec: QuantSpec = QuantSpec(),
+    mode: str = "replicate",
+    constant: int = 0,
+) -> CodeStream:
+    """Planar ``(..., H, W)`` uint8/float -> CodeStream. Per level one fused
+    Pallas pass (DWT + deadzone quantization of the details)."""
+    orig = (image.shape[-2], image.shape[-1])
+    x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant).astype(jnp.float32)
+    details = []
+    ll = x
+    for lvl in range(1, levels + 1):
+        ll, lh, hl, hh = dwt_level_quant_pallas(ll, step=spec.detail_step(lvl), quantize=True)
+        details.append((lh, hl, hh))
+    return CodeStream(ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig)
+
+
+@jax.jit
+def decode(stream: CodeStream) -> jax.Array:
+    """CodeStream -> reconstructed float32 image (original dims)."""
+    x = stream.ll
+    for lvl in range(stream.levels, 0, -1):
+        lh, hl, hh = stream.details[lvl - 1]
+        x = idwt_level_dequant_pallas(x, lh, hl, hh, step=stream.spec.detail_step(lvl), quantize=True)
+    return unpad(x, *stream.orig_shape)
+
+
+def icon_from_stream(stream: CodeStream) -> jax.Array:
+    """uint8 icon straight from the coarse band (free at decode time)."""
+    return jnp.clip(stream.ll, 0, 255).astype(jnp.uint8)
+
+
+def compression_ratio(stream: CodeStream) -> float:
+    """Raw uint8 bytes of the (padded) image vs stored code bytes."""
+    h, w = stream.orig_shape
+    lead = int(stream.ll.size // (stream.ll.shape[-2] * stream.ll.shape[-1]))
+    return (lead * h * w) / stream.num_bytes()

@@ -1,0 +1,89 @@
+"""Coefficient quantization for the wavelet codec path.
+
+The reference has no quantization at all — its single lossy step is the final
+uint8 cast of the icon (/root/reference/wicca/wavelet_coder.py:67). The
+north-star extends this to per-subband quantized coefficients
+(BASELINE.json: "coefficient quantization", "quantized icon paths"). Design
+follows JPEG2000-style uniform deadzone scalar quantization: detail subbands
+are quantized with a per-level step; LL is kept at a finer step (or lossless).
+
+All functions are elementwise jnp and fuse into the surrounding DWT under
+jit; the Pallas path fuses them into the transform kernel explicitly
+(:mod:`wicca_tpu.ops.dwt_pallas`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from wicca_tpu.core.haar import Pyramid
+
+
+def quantize_deadzone(c: jnp.ndarray, step: float, dtype=jnp.int32) -> jnp.ndarray:
+    """Uniform deadzone quantizer: q = sign(c) * floor(|c| / step).
+
+    The doubled-width zero bin kills near-zero detail coefficients, which is
+    where wavelet sparsity lives.
+    """
+    return (jnp.sign(c) * jnp.floor(jnp.abs(c) / step)).astype(dtype)
+
+
+def dequantize_deadzone(q: jnp.ndarray, step: float, dtype=jnp.float32) -> jnp.ndarray:
+    """Midpoint reconstruction: c' = sign(q) * (|q| + 0.5) * step, 0 -> 0."""
+    qf = q.astype(dtype)
+    return jnp.sign(qf) * (jnp.abs(qf) + 0.5) * step
+
+
+def quantize_midtread(c: jnp.ndarray, step: float, dtype=jnp.int32) -> jnp.ndarray:
+    """Round-to-nearest uniform quantizer (used for LL, where bias matters)."""
+    return jnp.round(c / step).astype(dtype)
+
+
+def dequantize_midtread(q: jnp.ndarray, step: float, dtype=jnp.float32) -> jnp.ndarray:
+    return q.astype(dtype) * step
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[],
+    meta_fields=["base_step", "level_gain", "ll_step", "coeff_dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Per-subband quantization policy.
+
+    Detail subband at level l (1 = finest) uses ``base_step * level_gain**(l-1)``;
+    in image normalization coarser-level details carry more reconstruction
+    energy per coefficient, so ``level_gain < 1`` refines them.
+    """
+
+    base_step: float = 1.0
+    level_gain: float = 0.5
+    ll_step: float = 0.25
+    coeff_dtype: jnp.dtype = jnp.int32
+
+    def detail_step(self, level: int) -> float:
+        return self.base_step * self.level_gain ** (level - 1)
+
+
+def quantize_pyramid(pyr: Pyramid, spec: QuantSpec) -> Pyramid:
+    """Quantize a float pyramid to integer codes (same Pyramid structure)."""
+    details = tuple(
+        tuple(quantize_deadzone(b, spec.detail_step(lvl + 1), spec.coeff_dtype) for b in bands)
+        for lvl, bands in enumerate(pyr.details)
+    )
+    ll = quantize_midtread(pyr.ll, spec.ll_step, spec.coeff_dtype)
+    return Pyramid(ll=ll, details=details, wavelet=pyr.wavelet, orig_shape=pyr.orig_shape)
+
+
+def dequantize_pyramid(pyr: Pyramid, spec: QuantSpec) -> Pyramid:
+    details = tuple(
+        tuple(dequantize_deadzone(b, spec.detail_step(lvl + 1)) for b in bands)
+        for lvl, bands in enumerate(pyr.details)
+    )
+    ll = dequantize_midtread(pyr.ll, spec.ll_step)
+    return Pyramid(ll=ll, details=details, wavelet=pyr.wavelet, orig_shape=pyr.orig_shape)

@@ -1,0 +1,3 @@
+from wicca_tpu.data.loader import from_planar, iter_decoded, list_images, load_image, to_planar
+from wicca_tpu.data.normalization import normalize_depth, normalize_folder
+from wicca_tpu.data.validation import validate_image, validate_input_folder, validate_output_folder

@@ -1,0 +1,219 @@
+"""ClassifierProcessor — the comparison engine (reference L4 parity,
+/root/reference/wicca/classifying_tools.py:105-562; SURVEY.md C3, C4, C14).
+
+TPU-first redesign of the reference pipeline:
+
+* **Icons are computed once per (image, depth) and reused across every
+  classifier** — the reference recomputes the full-resolution DWT per
+  classifier per depth (SURVEY.md §3.2 "major optimization target").
+* The DWT runs on the TPU (:func:`wicca_tpu.ops.dwt_pallas.icon_pallas`,
+  jnp fallback off-TPU); host JPEG decode overlaps device compute via the
+  threaded prefetch iterator (:func:`wicca_tpu.data.loader.iter_decoded`).
+* Images are bucket-padded (replicate) to limit XLA recompiles across
+  varying shapes; Haar tile-locality keeps icons bit-exact after cropping.
+* Classification resizes stay on host cv2 with the caller's interpolation,
+  exactly like the reference (classifying_tools.py:315-318), so quality
+  results are directly comparable.
+
+Constructor signature and the results CSV layout match the reference
+(SURVEY.md §2.5); `validate_output_folder` is non-interactive here
+(``overwrite`` flag) — see wicca_tpu.data.validation.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from wicca_tpu.analysis import results as rsltmgr
+from wicca_tpu.config.aliases import Depth
+from wicca_tpu.config.constants import ICON, MODEL, PRE_INP, DEC_PRED, SHAPE, SOURCE, RESULTS_FOLDER
+from wicca_tpu.data.loader import iter_decoded, list_images, to_planar, from_planar
+from wicca_tpu.data.normalization import normalize_depth
+from wicca_tpu.data.validation import validate_input_folder, validate_output_folder
+
+_BUCKET = 512  # pad H/W up to multiples of this to bound recompiles
+
+
+def _compute_icon(image_hwc: np.ndarray, depth: int) -> np.ndarray:
+    """Depth-d icon of one HWC uint8 image on the default backend (TPU when
+    available), bit-exact vs the reference HaarCoder (SURVEY.md §2.3).
+
+    Bucket padding (replicate) only adds rows/cols below/right of the
+    alignment padding; every kept icon pixel's 2^d x 2^d support is identical,
+    so cropping restores the exact reference icon.
+    """
+    import jax
+
+    from wicca_tpu.core.haar import haar_icon
+    from wicca_tpu.core.pad import pad_to_multiple
+    from wicca_tpu.ops.dwt_pallas import icon_pallas
+
+    h, w = image_hwc.shape[:2]
+    unit = 1 << depth
+    out_h, out_w = -(-h // unit), -(-w // unit)
+    planar = to_planar(image_hwc)
+    bucket = max(_BUCKET, unit)
+    padded = pad_to_multiple(planar, bucket, mode="replicate")
+    fn = icon_pallas if jax.default_backend() == "tpu" else haar_icon
+    icon = np.asarray(fn(padded, depth))[..., :out_h, :out_w]
+    return from_planar(icon)
+
+
+def _resize(image_hwc: np.ndarray, shape: tuple[int, int], interpolation) -> np.ndarray:
+    import cv2
+
+    return cv2.resize(image_hwc, shape, interpolation=interpolation)
+
+
+class ClassifierProcessor:
+    """Drop-in equivalent of the reference ClassifierProcessor
+    (classifying_tools.py:114-157): same ctor args, same result CSVs."""
+
+    def __init__(
+        self,
+        data_folder: str | Path,
+        wavelet_coder: Any = None,
+        transform_depth: Depth = 3,
+        interpolation: int = 3,  # cv2.INTER_AREA
+        top_classes: int = 5,
+        results_folder: str | Path = RESULTS_FOLDER,
+        log_info: bool = True,
+        parallel: int | None = None,
+        batch_size: int = 25,
+        overwrite: bool = True,
+    ):
+        self.path = validate_input_folder(data_folder)
+        self.coder = wavelet_coder  # optional custom coder: get_small_copy(img, depth)
+        self.depth: Any = normalize_depth(transform_depth)
+        if not (isinstance(top_classes, int) and top_classes > 0):
+            msg = "Top classes must be a positive integer."
+            logging.error(msg)
+            raise ValueError(msg)
+        self.top = top_classes
+        self.interpolation = interpolation
+        self.results_folder = validate_output_folder(results_folder, overwrite=overwrite)
+        self.parallel = parallel  # decode thread-pool width here (TPU serializes inference)
+        self.batch_size = batch_size
+        if log_info:
+            self._log_init_info()
+
+    # -- info -------------------------------------------------------------
+
+    def _log_init_info(self) -> None:
+        files = list_images(self.path)
+        print(f"Data folder: {self.path}")
+        print(f"Number of images: {len(files)}")
+        print(f"Results folder: {self.results_folder}")
+
+    # -- core -------------------------------------------------------------
+
+    def _icon(self, image_hwc: np.ndarray, depth: int) -> np.ndarray:
+        if self.coder is not None and hasattr(self.coder, "get_small_copy"):
+            return self.coder.get_small_copy(image_hwc, depth)
+        return _compute_icon(image_hwc, depth)
+
+    def _classify_depth(
+        self, classifiers: dict[str, dict], depth: int, deadline: float | None
+    ) -> dict[str, tuple[str, Any]]:
+        """One depth: stream images, icon once each, run every classifier on
+        the shared batch."""
+        files = list_images(self.path)
+        shapes = {name: clf[SHAPE] for name, clf in classifiers.items()}
+        # accumulated decoded predictions per classifier per file
+        preds: dict[str, dict[str, dict]] = {name: {} for name in classifiers}
+
+        batch_files: list[str] = []
+        batch_src: dict[str, list[np.ndarray]] = {n: [] for n in classifiers}
+        batch_icn: dict[str, list[np.ndarray]] = {n: [] for n in classifiers}
+
+        def flush() -> None:
+            if not batch_files:
+                return
+            for name, clf in classifiers.items():
+                model, pre, dec = clf[MODEL], clf[PRE_INP], clf[DEC_PRED]
+                for kind, batches in ((SOURCE, batch_src), (ICON, batch_icn)):
+                    stack = pre(np.stack(batches[name]))
+                    logits = model(np.asarray(stack, dtype=np.float32))
+                    decoded = dec(logits, top=self.top)
+                    for fname, row in zip(batch_files, decoded):
+                        preds[name].setdefault(fname, {})[kind] = [row]
+            batch_files.clear()
+            for n in classifiers:
+                batch_src[n].clear()
+                batch_icn[n].clear()
+
+        n_threads = self.parallel or 8
+        for path, image in iter_decoded(files, num_threads=n_threads):
+            if deadline is not None and time.time() > deadline:
+                logging.warning("Processing timed out; returning partial results")
+                break
+            if image is None:
+                logging.warning(f"Skipping unreadable file {path.name}")
+                continue
+            icon = self._icon(image, depth)
+            for name in classifiers:
+                shape = shapes[name]
+                batch_src[name].append(_resize(image, shape, self.interpolation))
+                batch_icn[name].append(_resize(icon, shape, self.interpolation))
+            batch_files.append(path.name)
+            if len(batch_files) >= self.batch_size:
+                flush()
+        flush()
+
+        out: dict[str, tuple[str, Any]] = {}
+        for name in classifiers:
+            res_df = rsltmgr.get_short_comparison(preds[name], self.top)
+            res_df.index.name = "index"
+            sum_df = rsltmgr.summarize(res_df)
+            rsltmgr.save_results(self.results_folder, depth, name, res_df, sum_df)
+            out[name] = (name, sum_df)
+        return out
+
+    # -- public API (reference parity, SURVEY.md §2.5) ---------------------
+
+    def process_classifiers(self, classifiers: dict[str, Any], timeout: int | None = None):
+        """Depth sweep over all classifiers (reference classifying_tools.py:
+        513-562). Returns {name: (name, summary_df)} for the last depth, like
+        the reference (later depths overwrite earlier — per-depth results
+        persist as CSVs; SURVEY.md §2.4)."""
+        if not isinstance(classifiers, dict) or not classifiers:
+            raise ValueError("classifiers must be a non-empty dict of name -> classifier dict")
+        first = next(iter(classifiers.values()))
+        if not (isinstance(first, dict) and MODEL in first):
+            # reference refuses a bare classifier dict too (classifying_tools.py:536-538)
+            raise ValueError(
+                "Expected a dict of classifiers (name -> {model,...}); did you pass a bare classifier dict?"
+            )
+        deadline = time.time() + timeout if timeout else None
+        depths = self.depth if isinstance(self.depth, tuple) else (self.depth,)
+        results: dict[str, tuple[str, Any]] = {}
+        for depth in depths:
+            t0 = time.time()
+            results.update(self._classify_depth(classifiers, depth, deadline))
+            logging.info(f"Depth {depth} done in {time.time() - t0:.1f}s")
+        return results
+
+    def _single_classifier(self, name: str, classifier_dict: dict[str, Any], timeout: int | None = None):
+        if not name:
+            raise ValueError("Name must be provided for single classifier")
+        if not isinstance(classifier_dict, dict) or MODEL not in classifier_dict:
+            raise ValueError(f"Classifier must be a dictionary containing a '{MODEL}' key")
+        return self.process_classifiers({name: classifier_dict}, timeout)
+
+    def process_single_classifier(self, *args, **kwargs):
+        """Helpful-error wrapper (reference classifying_tools.py:479-498)."""
+        try:
+            return self._single_classifier(*args, **kwargs)
+        except TypeError as e:
+            if "missing 1 required positional argument" in str(e):
+                logging.error(
+                    "You need to provide both the name and the classifier dictionary.\n"
+                    "Correct usage: process_single_classifier(name, classifiers[name])"
+                )
+                return None
+            raise

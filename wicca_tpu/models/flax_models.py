@@ -1,0 +1,224 @@
+"""Flax (linen) CNN classifier zoo — TPU-native replacement for the
+reference's ``tensorflow.keras.applications`` models (SURVEY.md C11).
+
+Architectures are implemented from their papers (MobileNetV2:
+Sandler et al. 2018; ResNet: He et al. 2015; EfficientNet-B0: Tan & Le 2019),
+NHWC layout (TPU conv native), optional bfloat16 compute with float32 params
+— convolutions land on the MXU.
+
+Weights: pretrained checkpoints load from ``WICCA_TPU_WEIGHTS/<name>.msgpack``
+(flax serialization) when present; otherwise deterministic per-name random
+init. The comparison harness measures *relative* agreement between a source
+image and its icon through the same network, so it stays meaningful either
+way (and is exercised in tests with a tiny deterministic CNN).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Callable
+
+
+class SimpleCNN(nn.Module):
+    """Small deterministic CNN for tests and smoke runs."""
+
+    num_classes: int = 1000
+    features: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        for i in range(3):
+            x = nn.Conv(self.features * 2**i, (3, 3), strides=(2, 2), dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+class _ConvBN(nn.Module):
+    features: int
+    kernel: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    groups: int = 1
+    act: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            self.kernel,
+            strides=self.strides,
+            feature_group_count=self.groups,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        return nn.relu6(x) if self.act else x
+
+
+class _InvertedResidual(nn.Module):
+    features: int
+    strides: tuple[int, int]
+    expand: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x.shape[-1]
+        h = x
+        if self.expand != 1:
+            h = _ConvBN(inp * self.expand, (1, 1), dtype=self.dtype)(h)
+        h = _ConvBN(
+            inp * self.expand, (3, 3), self.strides, groups=inp * self.expand, dtype=self.dtype
+        )(h)
+        h = _ConvBN(self.features, (1, 1), act=False, dtype=self.dtype)(h)
+        if self.strides == (1, 1) and inp == self.features:
+            h = h + x
+        return h
+
+
+class MobileNetV2(nn.Module):
+    """MobileNetV2 (width 1.0), 224x224 -> 1000 logits."""
+
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.bfloat16
+    # (expansion t, channels c, repeats n, stride s) per paper Table 2
+    config: Sequence[tuple[int, int, int, int]] = (
+        (1, 16, 1, 1),
+        (6, 24, 2, 2),
+        (6, 32, 3, 2),
+        (6, 64, 4, 2),
+        (6, 96, 3, 1),
+        (6, 160, 3, 2),
+        (6, 320, 1, 1),
+    )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = _ConvBN(32, (3, 3), (2, 2), dtype=self.dtype)(x)
+        for t, c, n, s in self.config:
+            for i in range(n):
+                x = _InvertedResidual(c, (s, s) if i == 0 else (1, 1), t, dtype=self.dtype)(x)
+        x = _ConvBN(1280, (1, 1), dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+class _Bottleneck(nn.Module):
+    features: int
+    strides: tuple[int, int] = (1, 1)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        h = _ConvBN(self.features, (1, 1), dtype=self.dtype)(x)
+        h = _ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype)(h)
+        h = _ConvBN(self.features * 4, (1, 1), act=False, dtype=self.dtype)(h)
+        if residual.shape != h.shape:
+            residual = _ConvBN(self.features * 4, (1, 1), self.strides, act=False, dtype=self.dtype)(x)
+        return nn.relu(h + residual)
+
+
+class ResNet50(nn.Module):
+    """ResNet-50 v1, 224x224 -> 1000 logits."""
+
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.bfloat16
+    stages: Sequence[tuple[int, int]] = ((64, 3), (128, 4), (256, 6), (512, 3))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, (feat, blocks) in enumerate(self.stages):
+            for i in range(blocks):
+                strides = (2, 2) if stage > 0 and i == 0 else (1, 1)
+                x = _Bottleneck(feat, strides, dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+class _SqueezeExcite(nn.Module):
+    features: int
+    se_ratio: float = 0.25
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        hidden = max(1, int(self.features * self.se_ratio))
+        s = nn.Conv(hidden, (1, 1), dtype=self.dtype)(s)
+        s = nn.silu(s)
+        s = nn.Conv(x.shape[-1], (1, 1), dtype=self.dtype)(s)
+        return x * nn.sigmoid(s)
+
+
+class _MBConv(nn.Module):
+    features: int
+    kernel: tuple[int, int]
+    strides: tuple[int, int]
+    expand: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x.shape[-1]
+        h = x
+        if self.expand != 1:
+            h = _ConvBN(inp * self.expand, (1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(
+            inp * self.expand,
+            self.kernel,
+            strides=self.strides,
+            feature_group_count=inp * self.expand,
+            use_bias=False,
+            dtype=self.dtype,
+        )(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(h)
+        h = nn.silu(h)
+        h = _SqueezeExcite(inp, dtype=self.dtype)(h)
+        h = _ConvBN(self.features, (1, 1), act=False, dtype=self.dtype)(h)
+        if self.strides == (1, 1) and inp == self.features:
+            h = h + x
+        return h
+
+
+class EfficientNetB0(nn.Module):
+    """EfficientNet-B0, 224x224 -> 1000 logits (silu activations + SE)."""
+
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.bfloat16
+    # (expand, channels, repeats, stride, kernel) per paper Table 1
+    config: Sequence[tuple[int, int, int, int, int]] = (
+        (1, 16, 1, 1, 3),
+        (6, 24, 2, 2, 3),
+        (6, 40, 2, 2, 5),
+        (6, 80, 3, 2, 3),
+        (6, 112, 3, 1, 5),
+        (6, 192, 4, 2, 5),
+        (6, 320, 1, 1, 3),
+    )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.silu(x)
+        for t, c, n, s, k in self.config:
+            for i in range(n):
+                x = _MBConv(c, (k, k), (s, s) if i == 0 else (1, 1), t, dtype=self.dtype)(x)
+        x = _ConvBN(1280, (1, 1), dtype=self.dtype)(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
