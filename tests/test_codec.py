@@ -1,0 +1,76 @@
+"""End-to-end codec pipeline: encode (fused DWT+quant) -> decode, PSNR and
+shape-chain handling, including the large-image tile-padding path."""
+
+import numpy as np
+import pytest
+
+import wicca_tpu.ops.dwt_pallas as dp
+from wicca_tpu.codec.pipeline import CodeStream, compression_ratio, decode, encode, icon_from_stream
+from wicca_tpu.core.metrics import psnr
+from wicca_tpu.core.quant import QuantSpec
+
+
+def _img(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("levels", [1, 3, 5])
+def test_encode_decode_psnr(levels):
+    x = _img((3, 128, 128), seed=levels)
+    stream = encode(x, levels=levels, spec=QuantSpec(base_step=1.0))
+    rec = np.asarray(decode(stream))
+    assert rec.shape == x.shape
+    assert float(psnr(rec, x.astype(np.float32))) > 35.0
+
+
+def test_encode_decode_odd_shape():
+    x = _img((3, 101, 173), seed=7)
+    stream = encode(x, levels=3)
+    rec = np.asarray(decode(stream))
+    assert rec.shape == x.shape
+    assert float(psnr(rec, x.astype(np.float32))) > 30.0
+
+
+def test_icon_from_stream_and_ratio():
+    x = _img((3, 64, 64), seed=1)
+    stream = encode(x, levels=2)
+    icon = np.asarray(icon_from_stream(stream))
+    assert icon.shape == (3, 16, 16) and icon.dtype == np.uint8
+    # at 5 levels the int8 detail planes + tiny f32 LL undercut raw bytes
+    # (~3x before entropy coding)
+    deep = encode(_img((3, 128, 128), seed=2), levels=5)
+    assert compression_ratio(deep) > 2.5
+
+
+def test_stream_is_pytree():
+    import jax
+
+    x = _img((1, 32, 32))
+    stream = encode(x, levels=2)
+    leaves = jax.tree_util.tree_leaves(stream)
+    assert len(leaves) == 1 + 3 * 2
+    assert isinstance(jax.tree_util.tree_map(lambda a: a, stream), CodeStream)
+
+
+def test_tile_padding_path(monkeypatch):
+    # shrink the tile caps so small CPU-interpret tests exercise the
+    # pad-to-tile + shape-chain crop logic used for real 52 MP images
+    monkeypatch.setattr(dp, "_TILE_H", 32)
+    monkeypatch.setattr(dp, "_TILE_W", 64)
+    x = _img((1, 80, 150), seed=3)
+    stream = encode(x, levels=3, spec=QuantSpec(base_step=0.5))
+    rec = np.asarray(decode(stream))
+    assert rec.shape == x.shape
+    assert float(psnr(rec, x.astype(np.float32))) > 35.0
+
+
+def test_icon_pallas_tile_padding_bit_exact(monkeypatch):
+    from wicca_tpu.core.haar import haar_icon
+
+    monkeypatch.setattr(dp, "_TILE_H", 32)
+    monkeypatch.setattr(dp, "_TILE_W", 64)
+    for depth in (2, 5):
+        x = _img((3, 90, 170), seed=depth)
+        got = np.asarray(dp.icon_pallas(x, depth))
+        want = np.asarray(haar_icon(x, depth))
+        np.testing.assert_array_equal(got, want)

@@ -69,10 +69,15 @@ def encode(
 
 @jax.jit
 def decode(stream: CodeStream) -> jax.Array:
-    """CodeStream -> reconstructed float32 image (original dims)."""
+    """CodeStream -> reconstructed float32 image (original dims).
+
+    The encoder may tile-pad each level's input (see dwt_level_quant_pallas);
+    stored subband shapes record it, so each reconstruction is cropped to the
+    next-finer level's subband extent before combining."""
     x = stream.ll
     for lvl in range(stream.levels, 0, -1):
         lh, hl, hh = stream.details[lvl - 1]
+        x = x[..., : lh.shape[-2], : lh.shape[-1]]
         x = idwt_level_dequant_pallas(x, lh, hl, hh, step=stream.spec.detail_step(lvl), quantize=True)
     return unpad(x, *stream.orig_shape)
 

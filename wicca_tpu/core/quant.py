@@ -56,13 +56,15 @@ def dequantize_midtread(q: jnp.ndarray, step: float, dtype=jnp.float32) -> jnp.n
 class QuantSpec:
     """Per-subband quantization policy.
 
-    Detail subband at level l (1 = finest) uses ``base_step * level_gain**(l-1)``;
-    in image normalization coarser-level details carry more reconstruction
-    energy per coefficient, so ``level_gain < 1`` refines them.
+    Detail subband at level l (1 = finest) uses ``base_step * level_gain**(l-1)``.
+    In image normalization a unit quantization error on a level-l detail
+    coefficient contributes the same per-pixel MSE at every level (the
+    synthesis amplitude is 1 and support/count effects cancel), so the
+    MSE-optimal allocation is a uniform step: ``level_gain = 1``.
     """
 
     base_step: float = 1.0
-    level_gain: float = 0.5
+    level_gain: float = 1.0
     ll_step: float = 0.25
     coeff_dtype: jnp.dtype = jnp.int32
 

@@ -3,32 +3,31 @@
 The reference's hot loop is a full-resolution numpy Haar chain re-run per
 classifier per depth (/root/reference/wicca/classifying_tools.py:297-323 +
 wavelet_coder.py:61-65; SURVEY.md §3.2) — pure HBM-bandwidth work. These
-kernels fuse the entire multi-level chain (and quantization) into single
-passes over HBM:
+kernels fuse the transform chain (and quantization) into minimal passes over
+HBM:
 
-* :func:`icon_pallas` — multi-level LL icon, uint8 in -> uint8 out, reading
-  the image exactly once (~1 byte/pixel of HBM traffic vs the jnp path's
-  per-level materialization).
+* :func:`icon_pallas` — multi-level LL icon, uint8 in -> uint8 out. Up to 3
+  levels fuse per pass (64x spatial reduction), so depth<=6 costs ~1.03
+  bytes/pixel of HBM traffic (the pass-2 input is 1/64 the size in int16).
 * :func:`dwt_level_quant_pallas` — one full-subband Haar level fused with
   deadzone quantization of the detail bands (int8 codes), float32 LL out.
 * :func:`idwt_level_dequant_pallas` — the fused inverse.
 
-Bit-exactness of the icon (SURVEY.md §2.3): levels 1-3 accumulate in int16 —
-exact integer arithmetic; the reference's float32 chain is also exact there
-(every intermediate is a dyadic rational below 2^24) — then the chain
-continues in float32 with the reference association order (row pairs then
-column pairs), so results are bit-identical.
+Bit-exactness of the icon (SURVEY.md §2.3): the first 3 levels accumulate in
+int16 — exact integer arithmetic; the reference's float32 chain is also exact
+there (every intermediate is a dyadic rational below 2^24) — later levels run
+in float32 with the reference association order (row pairs then column
+pairs), so results are bit-identical.
 
-Mosaic constraints shape the implementation (probed on TPU v5e): no strided
-slices, no uint8<->float32 casts, no lane-interleave reshape. Row-pair
-extraction uses ``reshape(h//2, 2, w)`` + middle index; column passes run as
-row passes on the transpose (association order restored for float levels);
-interleaves run as row-interleaves in transposed space.
-
-Tiling: row stripes of the full padded width, stripe height a multiple of
-2**depth — Haar support is 2, so stripes never need halos. Wrappers pad with
-the requested border mode and crop outputs; Haar locality keeps kept
-coefficients unaffected.
+Mosaic constraints shape the implementation (probed on this TPU v5e):
+- no strided slices -> row pairs via ``reshape(h//2, 2, w)`` + middle index
+- no uint8<->float32 casts -> u8 -> i16 -> f32 ladders
+- no lane-interleave reshape -> interleave as row-interleave of transposes
+- column passes run as row passes on the transpose
+- block last-two dims must be (8,128)-divisible or equal the full array ->
+  wrappers pad large dims to tile multiples (extra rows/cols are cropped;
+  Haar support is 2, so kept outputs are unaffected), small dims use
+  full-extent blocks.
 """
 
 from __future__ import annotations
@@ -42,8 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wicca_tpu.core.pad import pad_to_multiple
 
-# Target VMEM bytes for the input-side stripe buffer.
-_STRIPE_BYTES = 2 * 1024 * 1024
+# Tile caps: transposed intermediates of (512, 1024) keep Mosaic compile
+# times sane (full-width 2048+ transposes were pathological).
+_TILE_H = 512
+_TILE_W = 1024
 
 
 def _interpret() -> bool:
@@ -51,29 +52,33 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _stripe_height(h: int, depth: int, w: int, itemsize: int) -> int:
-    """Stripe height: multiple of 2**depth dividing h, sized to VMEM."""
-    unit = 1 << depth
-    assert h % unit == 0
-    th = unit
-    while th * 2 <= h and h % (th * 2) == 0 and th * 2 * w * itemsize <= _STRIPE_BYTES:
-        th *= 2
-    return th
+def _pad_dim_to(x: jax.Array, axis: int, mult: int) -> jax.Array:
+    """Replicate-pad one trailing axis to a multiple of ``mult`` (the extra
+    output is cropped by callers; values there never affect kept outputs)."""
+    size = x.shape[axis]
+    extra = -size % mult
+    if extra == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, extra)
+    return jnp.pad(x, pad, mode="edge")
 
 
-# In-kernel transposes of very wide blocks blow up Mosaic compile time; cap
-# tile extents so transposed intermediates stay modest.
-_MAX_TILE = 1024
-
-
-def _tile_extent(n: int, depth: int, cap: int = _MAX_TILE) -> int:
-    """Largest power-of-two multiple of 2**depth that divides n, <= cap."""
-    unit = 1 << depth
-    assert n % unit == 0
-    t = unit
-    while t * 2 <= n and n % (t * 2) == 0 and t * 2 <= cap:
-        t *= 2
-    return t
+def _tiling(x: jax.Array) -> tuple[jax.Array, int, int]:
+    """Pad H/W (trailing axes) to tile multiples when they exceed the caps;
+    otherwise tile = full extent (always legal for Mosaic)."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h > _TILE_H:
+        x = _pad_dim_to(x, -2, _TILE_H)
+        th = _TILE_H
+    else:
+        th = h
+    if w > _TILE_W:
+        x = _pad_dim_to(x, -1, _TILE_W)
+        tw = _TILE_W
+    else:
+        tw = w
+    return x, th, tw
 
 
 def _rowpair(x):
@@ -101,31 +106,70 @@ def _lane_interleave(a, b):
     return _row_interleave(a.T, b.T).T
 
 
-def _icon_kernel(x_ref, out_ref, *, depth: int):
-    x = x_ref[0].astype(jnp.int16)
-    int_levels = min(depth, 3)  # partial sums <= 255 * 4**3 fit int16
-    transposed = False
-    for _ in range(int_levels):
-        # integer adds are associative: orientation does not matter here
-        x = _rowpair(x)
-        x = _rowpair(x.T)
-        transposed = not transposed
-    acc = x.astype(jnp.float32) * jnp.float32(0.25**int_levels)
-    if transposed and depth > int_levels:
-        acc = acc.T
-        transposed = False
-    for _ in range(depth - int_levels):
-        # float levels must keep the reference association: rows then columns
-        rs = _rowpair(acc)
-        acc = _rowpair(rs.T).T * jnp.float32(0.25)
-    if transposed:
-        acc = acc.T
-    out_ref[0] = jnp.clip(acc, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+# ---------------------------------------------------------------------------
+# Multi-level icon
+# ---------------------------------------------------------------------------
+
+
+def _icon_pass_kernel(x_ref, out_ref, *, k: int, in_kind: str, final: bool):
+    """k (<=3) block-mean levels on one tile.
+
+    in_kind 'u8'  : uint8 pixels -> int16 raw sums (scale 4**k) or final u8
+    in_kind 'i16' : int16 sums from the first 3-level pass (scale 64) ->
+                    float32 levels with reference association
+    in_kind 'f32' : float32 LL values from a previous float pass (depth > 6)
+    Non-final outputs after the first pass are float32 (exact; an int16
+    re-emission would truncate fractional LL values).
+    """
+    if in_kind == "u8":
+        x = x_ref[0].astype(jnp.int16)
+        for _ in range(k):
+            # integer adds are associative: orientation-free double row pass
+            x = _rowpair(x)
+            x = _rowpair(x.T)
+        if k % 2:
+            x = x.T
+        if final:
+            acc = x.astype(jnp.float32) * jnp.float32(0.25**k)
+            out_ref[0] = jnp.clip(acc, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+        else:
+            out_ref[0] = x  # raw i16 sums, scale 4**k
+    else:
+        acc = x_ref[0].astype(jnp.float32)
+        if in_kind == "i16":
+            acc = acc * jnp.float32(0.25**3)  # undo pass-1 scale
+        for _ in range(k):
+            # float levels keep the reference association: rows then columns
+            rs = _rowpair(acc)
+            acc = _rowpair(rs.T).T * jnp.float32(0.25)
+        if final:
+            out_ref[0] = jnp.clip(acc, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+        else:
+            out_ref[0] = acc
+
+
+def _icon_pass(x: jax.Array, k: int, in_kind: str, final: bool) -> jax.Array:
+    """One fused k-level pass over (C, H, W); returns (C, H/2^k, W/2^k)."""
+    unit = 1 << k
+    x, th, tw = _tiling(_pad_dim_to(_pad_dim_to(x, -2, unit), -1, unit))
+    c, hp, wp = x.shape
+    out_dt = jnp.uint8 if final else (jnp.int16 if in_kind == "u8" else jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_icon_pass_kernel, k=k, in_kind=in_kind, final=final),
+        out_shape=jax.ShapeDtypeStruct((c, hp // unit, wp // unit), out_dt),
+        grid=(c, hp // th, wp // tw),
+        in_specs=[pl.BlockSpec((1, th, tw), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, th // unit, tw // unit), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(x)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("depth", "mode", "constant"))
 def icon_pallas(image: jax.Array, depth: int, mode: str = "replicate", constant: int = 0) -> jax.Array:
-    """Reference-parity uint8 icon via a single fused Pallas pass.
+    """Reference-parity uint8 icon via fused Pallas passes (<=3 levels each).
 
     ``image``: planar ``(..., H, W)`` uint8. Returns ``(..., ceil(H/2^d),
     ceil(W/2^d))`` uint8, bit-exact vs :func:`wicca_tpu.core.haar.haar_icon`.
@@ -137,25 +181,19 @@ def icon_pallas(image: jax.Array, depth: int, mode: str = "replicate", constant:
     unit = 1 << depth
     out_h, out_w = -(-h // unit), -(-w // unit)
 
+    # semantic padding to the transform unit (reference wavelet_coder.py:58);
+    # everything past this is tile-alignment padding, cropped at the end
     x = pad_to_multiple(image, unit, mode=mode, constant=constant)
     x = x.reshape((-1, x.shape[-2], x.shape[-1]))
-    c, hp, wp = x.shape
-    th = _tile_extent(hp, depth, 512)
-    tw = _tile_extent(wp, depth, _MAX_TILE)
 
-    out = pl.pallas_call(
-        functools.partial(_icon_kernel, depth=depth),
-        out_shape=jax.ShapeDtypeStruct((c, hp // unit, wp // unit), jnp.uint8),
-        grid=(c, hp // th, wp // tw),
-        in_specs=[
-            pl.BlockSpec((1, th, tw), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th // unit, tw // unit), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM
-        ),
-        interpret=_interpret(),
-    )(x)
-    return out[:, :out_h, :out_w].reshape(lead + (out_h, out_w))
+    remaining = depth
+    in_kind = "u8"
+    while remaining > 0:
+        k = min(remaining, 3)
+        x = _icon_pass(x, k, in_kind, final=(remaining == k))
+        remaining -= k
+        in_kind = "i16" if in_kind == "u8" else "f32"
+    return x[:, :out_h, :out_w].reshape(lead + (out_h, out_w))
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +201,7 @@ def icon_pallas(image: jax.Array, depth: int, mode: str = "replicate", constant:
 # ---------------------------------------------------------------------------
 
 
-def _dwt_quant_kernel(x_ref, ll_ref, lh_ref, hl_ref, hh_ref, *, step: float, quantize: bool):
+def _dwt_quant_kernel(x_ref, ll_ref, lh_ref, hl_ref, hh_ref, *, step: float, quantize: bool, qmax: int):
     x = x_ref[0]
     rs, rd = _rowpair_sumdiff(x)  # vertical low / high (scale 2x)
     # column pass = row pass on the transpose; transpose back so subbands
@@ -178,9 +216,10 @@ def _dwt_quant_kernel(x_ref, ll_ref, lh_ref, hl_ref, hh_ref, *, step: float, qua
     ll_ref[0] = ll
     if quantize:
         inv = jnp.float32(1.0 / step)
+        dt = lh_ref.dtype
         for ref, band in ((lh_ref, lh), (hl_ref, hl), (hh_ref, hh)):
             qv = jnp.sign(band) * jnp.floor(jnp.abs(band) * inv)
-            ref[0] = jnp.clip(qv, -127, 127).astype(jnp.int8)
+            ref[0] = jnp.clip(qv, -qmax, qmax).astype(dt)
     else:
         lh_ref[0] = lh
         hl_ref[0] = hl
@@ -190,24 +229,33 @@ def _dwt_quant_kernel(x_ref, ll_ref, lh_ref, hl_ref, hh_ref, *, step: float, qua
 @functools.partial(jax.jit, static_argnames=("step", "quantize"))
 def dwt_level_quant_pallas(x: jax.Array, step: float = 1.0, quantize: bool = True):
     """One Haar level over ``(..., H, W)`` float32; details deadzone-quantized
-    to int8 codes (clamped to [-127,127]) in the same HBM pass.
+    in the same HBM pass. Codes are int8 when they provably fit (image-
+    normalized detail magnitudes are <= 127.5, so step >= 1.01 -> int8),
+    int16 otherwise.
 
-    Returns ``(ll_f32, lh, hl, hh)``. H and W must be even (pad first).
+    Returns ``(ll_f32, lh, hl, hh)`` of shape ``(..., H'/2, W'/2)`` where
+    H'/W' are H/W rounded up to the internal tile multiples for large inputs
+    (extra replicate-padded rows/cols; crop with the shape chain in
+    :mod:`wicca_tpu.codec.pipeline`). H and W must be even.
     """
     lead = x.shape[:-2]
     h, w = x.shape[-2], x.shape[-1]
     if h % 2 or w % 2:
         raise ValueError("H and W must be even")
     x = x.reshape((-1, h, w)).astype(jnp.float32)
-    c = x.shape[0]
-    th = _tile_extent(h, 1, 512)
-    tw = _tile_extent(w, 1, _MAX_TILE)
-    dt = jnp.int8 if quantize else jnp.float32
-    sub = jax.ShapeDtypeStruct((c, h // 2, w // 2), dt)
+    x, th, tw = _tiling(x)
+    c, hp, wp = x.shape
+    if not quantize:
+        dt, qmax = jnp.float32, 0
+    elif 127.5 / step < 128.0:  # floor(max|band|/step) fits int8
+        dt, qmax = jnp.int8, 127
+    else:
+        dt, qmax = jnp.int16, 32767
+    sub = jax.ShapeDtypeStruct((c, hp // 2, wp // 2), dt)
     outs = pl.pallas_call(
-        functools.partial(_dwt_quant_kernel, step=step, quantize=quantize),
-        out_shape=(jax.ShapeDtypeStruct((c, h // 2, w // 2), jnp.float32), sub, sub, sub),
-        grid=(c, h // th, w // tw),
+        functools.partial(_dwt_quant_kernel, step=step, quantize=quantize, qmax=qmax),
+        out_shape=(jax.ShapeDtypeStruct((c, hp // 2, wp // 2), jnp.float32), sub, sub, sub),
+        grid=(c, hp // th, wp // tw),
         in_specs=[pl.BlockSpec((1, th, tw), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)],
         out_specs=tuple(
             pl.BlockSpec((1, th // 2, tw // 2), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)
@@ -215,7 +263,7 @@ def dwt_level_quant_pallas(x: jax.Array, step: float = 1.0, quantize: bool = Tru
         ),
         interpret=_interpret(),
     )(x)
-    return tuple(o.reshape(lead + (h // 2, w // 2)) for o in outs)
+    return tuple(o.reshape(lead + (hp // 2, wp // 2)) for o in outs)
 
 
 def _idwt_dequant_kernel(ll_ref, lh_ref, hl_ref, hh_ref, out_ref, *, step: float, quantize: bool):
@@ -240,18 +288,29 @@ def _idwt_dequant_kernel(ll_ref, lh_ref, hl_ref, hh_ref, out_ref, *, step: float
 
 @functools.partial(jax.jit, static_argnames=("step", "quantize"))
 def idwt_level_dequant_pallas(ll: jax.Array, lh, hl, hh, step: float = 1.0, quantize: bool = True):
-    """Fused inverse of :func:`dwt_level_quant_pallas` -> ``(..., H, W)`` f32."""
+    """Fused inverse of :func:`dwt_level_quant_pallas` -> ``(..., 2H', 2W')``
+    f32 (H'/W' = subband dims rounded up to tile multiples; crop via the
+    codec shape chain)."""
     lead = ll.shape[:-2]
     hh_half, wh = ll.shape[-2], ll.shape[-1]
     ll = ll.reshape((-1, hh_half, wh)).astype(jnp.float32)
-    c = ll.shape[0]
-    rs = lambda a: a.reshape((-1, hh_half, wh))
-    th = _tile_extent(hh_half, 0, 256)
-    tw = _tile_extent(wh, 0, _MAX_TILE // 2)
+
+    def prep(a):
+        a = a.reshape((-1, hh_half, wh))
+        if hh_half > _TILE_H // 2:
+            a = _pad_dim_to(a, -2, _TILE_H // 2)
+        if wh > _TILE_W // 2:
+            a = _pad_dim_to(a, -1, _TILE_W // 2)
+        return a
+
+    ll = prep(ll)
+    c, hp, wp = ll.shape
+    th = min(hp, _TILE_H // 2)
+    tw = min(wp, _TILE_W // 2)
     out = pl.pallas_call(
         functools.partial(_idwt_dequant_kernel, step=step, quantize=quantize),
-        out_shape=jax.ShapeDtypeStruct((c, hh_half * 2, wh * 2), jnp.float32),
-        grid=(c, hh_half // th, wh // tw),
+        out_shape=jax.ShapeDtypeStruct((c, hp * 2, wp * 2), jnp.float32),
+        grid=(c, hp // th, wp // tw),
         in_specs=[
             pl.BlockSpec((1, th, tw), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)
             for _ in range(4)
@@ -260,5 +319,5 @@ def idwt_level_dequant_pallas(ll: jax.Array, lh, hl, hh, step: float = 1.0, quan
             (1, th * 2, tw * 2), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
-    )(ll, rs(lh), rs(hl), rs(hh))
-    return out.reshape(lead + (hh_half * 2, wh * 2))
+    )(ll, prep(lh), prep(hl), prep(hh))
+    return out.reshape(lead + (hp * 2, wp * 2))
