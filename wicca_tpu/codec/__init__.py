@@ -1,0 +1,10 @@
+from wicca_tpu.codec.container import deserialize, load, save, serialize
+from wicca_tpu.codec.pipeline import (
+    CodeStream,
+    compression_ratio,
+    decode,
+    encode,
+    entropy_ratio,
+    estimated_entropy_bytes,
+    icon_from_stream,
+)

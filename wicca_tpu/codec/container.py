@@ -1,0 +1,98 @@
+"""On-disk container for encoded images (.wct — "wicca-tpu codestream").
+
+Layout (little-endian):
+  magic b'WCT1' | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
+  f32 base_step | f32 level_gain | u32 ll_h | u32 ll_w |
+  raw float32 LL plane |
+  per level (fine->coarse), per band (lh,hl,hh):
+    u8 dtype_code (0=int8,1=int16) | u32 sub_h | u32 sub_w | u32 nbytes |
+    Rice bitstream (wicca_tpu.native.rice)
+
+The entropy stage runs plane-parallel on host threads (ctypes releases the
+GIL). Decoding reproduces the CodeStream bit-exactly, so container roundtrip
++ TPU decode equals direct decode.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import struct
+
+import numpy as np
+
+from wicca_tpu.codec.pipeline import CodeStream
+from wicca_tpu.core.quant import QuantSpec
+from wicca_tpu.native.rice import rice_decode, rice_encode
+
+_MAGIC = b"WCT1"
+_DTYPES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1}
+_DTYPES_INV = {0: np.int8, 1: np.int16}
+
+
+def serialize(stream: CodeStream, threads: int = 8) -> bytes:
+    """CodeStream -> container bytes (detail planes Rice-coded in parallel)."""
+    ll = np.asarray(stream.ll, dtype=np.float32)
+    lead = ll.shape[0] if ll.ndim == 3 else 1
+    planes = [np.asarray(b) for bands in stream.details for b in bands]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+        encoded = list(pool.map(rice_encode, planes))
+    out = bytearray()
+    out += _MAGIC
+    out += struct.pack(
+        "<BBIIffII",
+        stream.levels,
+        lead,
+        stream.orig_shape[0],
+        stream.orig_shape[1],
+        stream.spec.base_step,
+        stream.spec.level_gain,
+        ll.shape[-2],
+        ll.shape[-1],
+    )
+    out += ll.tobytes()
+    for plane, data in zip(planes, encoded):
+        out += struct.pack("<BIII", _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data))
+        out += data
+    return bytes(out)
+
+
+def deserialize(data: bytes, threads: int = 8) -> CodeStream:
+    """Container bytes -> CodeStream (planes decoded in parallel)."""
+    if data[:4] != _MAGIC:
+        raise ValueError("not a WCT1 container")
+    off = 4
+    levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBIIffII", data, off)
+    off += struct.calcsize("<BBIIffII")
+    ll = np.frombuffer(data, dtype=np.float32, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
+    off += ll.nbytes
+    metas = []
+    blobs = []
+    for _ in range(levels * 3):
+        dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
+        off += struct.calcsize("<BIII")
+        metas.append((dt_code, sh, sw))
+        blobs.append(data[off : off + nbytes])
+        off += nbytes
+
+    def _dec(args):
+        (dt_code, sh, sw), blob = args
+        dtype = _DTYPES_INV[dt_code]
+        return rice_decode(blob, lead * sh * sw, dtype).reshape(lead, sh, sw)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+        planes = list(pool.map(_dec, zip(metas, blobs)))
+    details = tuple(tuple(planes[i * 3 : i * 3 + 3]) for i in range(levels))
+    spec = QuantSpec(base_step=base_step, level_gain=level_gain)
+    return CodeStream(ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow))
+
+
+def save(stream: CodeStream, path: str, threads: int = 8) -> int:
+    data = serialize(stream, threads)
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
+def load(path: str, threads: int = 8) -> CodeStream:
+    with open(path, "rb") as f:
+        return deserialize(f.read(), threads)

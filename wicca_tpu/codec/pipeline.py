@@ -88,7 +88,32 @@ def icon_from_stream(stream: CodeStream) -> jax.Array:
 
 
 def compression_ratio(stream: CodeStream) -> float:
-    """Raw uint8 bytes of the (padded) image vs stored code bytes."""
+    """Raw uint8 bytes vs *stored* code bytes (≈1 for int8 codes — the
+    entropy coder provides the actual size win; see entropy_ratio)."""
     h, w = stream.orig_shape
     lead = int(stream.ll.size // (stream.ll.shape[-2] * stream.ll.shape[-1]))
     return (lead * h * w) / stream.num_bytes()
+
+
+def estimated_entropy_bytes(stream: CodeStream) -> float:
+    """Shannon-entropy size of the detail codes + raw LL bytes — the target
+    an order-0 entropy coder approaches (deadzone codes of natural images are
+    overwhelmingly zero)."""
+    import numpy as np
+
+    total = float(stream.ll.size * stream.ll.dtype.itemsize)
+    for bands in stream.details:
+        for b in bands:
+            codes = np.asarray(b).ravel()
+            _, counts = np.unique(codes, return_counts=True)
+            p = counts / codes.size
+            bits = float(-(p * np.log2(p)).sum()) * codes.size
+            total += bits / 8.0
+    return total
+
+
+def entropy_ratio(stream: CodeStream) -> float:
+    """Raw uint8 bytes vs entropy-coded size estimate."""
+    h, w = stream.orig_shape
+    lead = int(stream.ll.size // (stream.ll.shape[-2] * stream.ll.shape[-1]))
+    return (lead * h * w) / max(estimated_entropy_bytes(stream), 1.0)

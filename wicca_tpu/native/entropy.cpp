@@ -1,0 +1,171 @@
+// Adaptive Rice/Golomb entropy codec for quantized wavelet detail planes.
+//
+// The reference project has no codec at all (SURVEY.md §0; wicca only keeps
+// the LL branch). This is the host-side entropy stage of the TPU codec
+// pipeline (SURVEY.md §2 note: native components are mandated by the north
+// star, with the reference defining only the numerical contract): the TPU
+// produces deadzone int8/int16 codes (wicca_tpu/ops/dwt_pallas.py), this
+// library turns them into a compact bitstream and back, bit-exactly.
+//
+// Scheme: zigzag map to unsigned, then Rice coding with a per-block
+// (B=512) parameter k chosen from the block's mean magnitude; unary
+// quotients are capped at ESCAPE and followed by a raw value. Deadzone
+// codes of natural images are mostly zero, so k=0 blocks approach 1
+// bit/value; order-0 optimality is within a few percent of the Shannon
+// bound measured by codec/pipeline.estimated_entropy_bytes.
+//
+// C ABI (ctypes): all functions return the number of bytes written/read,
+// or 0 on error (insufficient capacity / malformed stream).
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+constexpr int BLOCK = 512;
+constexpr uint32_t ESCAPE_Q = 20;  // unary quotient cap before raw escape
+
+struct BitWriter {
+    uint8_t* out;
+    size_t cap;
+    size_t byte = 0;
+    uint32_t acc = 0;
+    int nbits = 0;
+    bool overflow = false;
+
+    void put(uint32_t bits, int n) {
+        acc |= bits << nbits;
+        nbits += n;
+        while (nbits >= 8) {
+            if (byte >= cap) { overflow = true; nbits = 0; return; }
+            out[byte++] = static_cast<uint8_t>(acc & 0xff);
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    size_t finish() {
+        if (nbits > 0) {
+            if (byte >= cap) { overflow = true; return 0; }
+            out[byte++] = static_cast<uint8_t>(acc & 0xff);
+            acc = 0; nbits = 0;
+        }
+        return overflow ? 0 : byte;
+    }
+};
+
+struct BitReader {
+    const uint8_t* in;
+    size_t len;
+    size_t byte = 0;
+    uint32_t acc = 0;
+    int nbits = 0;
+    bool error = false;
+
+    uint32_t get(int n) {
+        while (nbits < n) {
+            if (byte >= len) { error = true; return 0; }
+            acc |= static_cast<uint32_t>(in[byte++]) << nbits;
+            nbits += 8;
+        }
+        uint32_t v = acc & ((n == 32) ? 0xffffffffu : ((1u << n) - 1u));
+        acc >>= n;
+        nbits -= n;
+        return v;
+    }
+    uint32_t get_unary(uint32_t cap_q) {
+        uint32_t q = 0;
+        while (q < cap_q) {
+            if (get(1)) q++;
+            else return q;
+            if (error) return 0;
+        }
+        return q;  // == cap_q -> escape marker (no trailing zero)
+    }
+};
+
+inline uint32_t zigzag32(int32_t v) {
+    return (static_cast<uint32_t>(v) << 1) ^ static_cast<uint32_t>(v >> 31);
+}
+inline int32_t unzigzag32(uint32_t u) {
+    return static_cast<int32_t>(u >> 1) ^ -static_cast<int32_t>(u & 1);
+}
+
+// pick k from the block's mean unsigned magnitude
+inline int pick_k(const uint32_t* u, int n) {
+    uint64_t sum = 0;
+    for (int i = 0; i < n; i++) sum += u[i];
+    if (sum == 0) return 0;
+    double mean = static_cast<double>(sum) / n;
+    int k = 0;
+    while ((1u << (k + 1)) < mean + 1 && k < 30) k++;
+    return k;
+}
+
+template <typename T, int RAWBITS>
+size_t encode_impl(const T* codes, size_t n, uint8_t* out, size_t cap) {
+    BitWriter bw{out, cap};
+    uint32_t u[BLOCK];
+    for (size_t start = 0; start < n; start += BLOCK) {
+        int blk = static_cast<int>(std::min<size_t>(BLOCK, n - start));
+        for (int i = 0; i < blk; i++) u[i] = zigzag32(static_cast<int32_t>(codes[start + i]));
+        int k = pick_k(u, blk);
+        bw.put(static_cast<uint32_t>(k), 5);
+        for (int i = 0; i < blk; i++) {
+            uint32_t q = u[i] >> k;
+            if (q >= ESCAPE_Q) {
+                bw.put((1u << ESCAPE_Q) - 1u, ESCAPE_Q);  // cap_q ones
+                bw.put(u[i], RAWBITS + 1);                // raw zigzag value
+            } else {
+                // q ones then a zero
+                if (q) bw.put((1u << q) - 1u, q);
+                bw.put(0, 1);
+                if (k) bw.put(u[i] & ((1u << k) - 1u), k);
+            }
+            if (bw.overflow) return 0;
+        }
+    }
+    return bw.finish();
+}
+
+template <typename T, int RAWBITS>
+size_t decode_impl(const uint8_t* in, size_t len, T* codes, size_t n) {
+    BitReader br{in, len};
+    for (size_t start = 0; start < n; start += BLOCK) {
+        int blk = static_cast<int>(std::min<size_t>(BLOCK, n - start));
+        int k = static_cast<int>(br.get(5));
+        if (br.error || k > 30) return 0;
+        for (int i = 0; i < blk; i++) {
+            uint32_t q = br.get_unary(ESCAPE_Q);
+            uint32_t u;
+            if (q >= ESCAPE_Q) {
+                u = br.get(RAWBITS + 1);
+            } else {
+                uint32_t low = k ? br.get(k) : 0;
+                u = (q << k) | low;
+            }
+            if (br.error) return 0;
+            codes[start + i] = static_cast<T>(unzigzag32(u));
+        }
+    }
+    return br.byte;
+}
+
+}  // namespace
+
+extern "C" {
+
+size_t wicca_rice_encode_i8(const int8_t* codes, size_t n, uint8_t* out, size_t cap) {
+    return encode_impl<int8_t, 8>(codes, n, out, cap);
+}
+size_t wicca_rice_decode_i8(const uint8_t* in, size_t len, int8_t* codes, size_t n) {
+    return decode_impl<int8_t, 8>(in, len, codes, n);
+}
+size_t wicca_rice_encode_i16(const int16_t* codes, size_t n, uint8_t* out, size_t cap) {
+    return encode_impl<int16_t, 16>(codes, n, out, cap);
+}
+size_t wicca_rice_decode_i16(const uint8_t* in, size_t len, int16_t* codes, size_t n) {
+    return decode_impl<int16_t, 16>(in, len, codes, n);
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""ctypes bindings for the C++ Rice entropy codec (entropy.cpp) with a numpy
+fallback.
+
+pybind11 is unavailable in this environment, so the ABI is plain C + ctypes
+(the approved binding path). The library builds lazily via ``make`` on first
+import; ctypes releases the GIL during calls, so plane-parallel encoding from
+a ThreadPoolExecutor scales across cores.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libwicca_native.so"
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("WICCA_TPU_NO_NATIVE"):
+            return None
+        try:
+            if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < (_DIR / "entropy.cpp").stat().st_mtime:
+                subprocess.run(["make", "-s", "-C", str(_DIR)], check=True, capture_output=True)
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            for name, argt in [
+                ("wicca_rice_encode_i8", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
+                ("wicca_rice_decode_i8", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
+                ("wicca_rice_encode_i16", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
+                ("wicca_rice_decode_i16", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
+            ]:
+                fn = getattr(lib, name)
+                fn.argtypes = argt
+                fn.restype = ctypes.c_size_t
+            _lib = lib
+        except Exception as e:  # noqa: BLE001
+            logging.warning(f"native entropy codec unavailable ({e}); using numpy fallback")
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    v32 = v.astype(np.int32)
+    return ((v32 << 1) ^ (v32 >> 31)).astype(np.uint32)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint32)
+    return ((u >> 1).astype(np.int32)) ^ -(u & 1).astype(np.int32)
+
+
+def rice_encode(codes: np.ndarray) -> bytes:
+    """Entropy-encode an int8/int16 code plane to a compact bytestring."""
+    codes = np.ascontiguousarray(codes)
+    if codes.dtype not in (np.int8, np.int16):
+        raise TypeError(f"codes must be int8/int16, got {codes.dtype}")
+    lib = _load()
+    flat = codes.ravel()
+    if flat.size == 0:
+        return b""
+    if lib is not None:
+        cap = flat.size * (4 if codes.dtype == np.int16 else 3) + 4096
+        out = ctypes.create_string_buffer(cap)
+        fn = lib.wicca_rice_encode_i8 if codes.dtype == np.int8 else lib.wicca_rice_encode_i16
+        n = fn(flat.ctypes.data_as(ctypes.c_char_p), flat.size, out, cap)
+        if n == 0:
+            raise RuntimeError("rice encode overflow")
+        return out.raw[:n]
+    # numpy fallback: varint-free simple scheme (zigzag + raw 16-bit) —
+    # correctness-only path for environments without a compiler
+    u = _zigzag(flat).astype(np.uint16)
+    return b"RAW0" + u.tobytes()
+
+
+def rice_decode(data: bytes, n: int, dtype=np.int8) -> np.ndarray:
+    """Inverse of rice_encode: bytes -> n codes of the given dtype."""
+    dtype = np.dtype(dtype)
+    lib = _load()
+    if data[:4] == b"RAW0":
+        u = np.frombuffer(data[4:], dtype=np.uint16, count=n)
+        return _unzigzag(u).astype(dtype)
+    if lib is None:
+        raise RuntimeError("native stream but native codec unavailable")
+    out = np.empty(n, dtype=dtype)
+    fn = lib.wicca_rice_decode_i8 if dtype == np.int8 else lib.wicca_rice_decode_i16
+    used = fn(data, len(data), out.ctypes.data_as(ctypes.c_char_p), n)
+    if used == 0 and n > 0:
+        raise RuntimeError("rice decode error")
+    return out
