@@ -1,9 +1,17 @@
 """Headline benchmark: depth-5 Haar DWT encode (+quantize) + decode of a
-52.7 MP image on one TPU chip, in megapixels/second.
+~53 MP image on one TPU chip, in megapixels/second.
 
 BASELINE.json metric: "DWT encode+decode megapixels/s/chip at depth 5". The
 only reference number is the CPU end-to-end 7.6 MP/s implied throughput
 (BASELINE.md; /root/reference/README.md:144-158) — used as vs_baseline.
+
+Timing notes for this environment (see .claude/skills/verify/SKILL.md):
+``block_until_ready`` does not actually wait through the axon TPU tunnel, so
+iterations run inside one jitted ``fori_loop`` (with a per-iteration data
+dependency to defeat loop hoisting) and completion is forced by fetching a
+scalar; per-iteration time is the difference between a 1-iter and an
+(1+N)-iter run of pre-compiled functions. A persistent compilation cache
+keeps repeat runs fast.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,51 +23,69 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _timed_loop(step_fn, x, iters: int) -> float:
+    """Seconds per iteration of step_fn (a u8-image -> f32-array function)."""
     import jax
     import jax.numpy as jnp
 
-    from wicca_tpu.ops.dwt_pallas import dwt_level_quant_pallas, idwt_level_dequant_pallas
+    def make(n):
+        @jax.jit
+        def run(xi):
+            def body(i, acc):
+                xv = jnp.bitwise_xor(xi, (i & 1).astype(jnp.uint8))
+                out = step_fn(xv)
+                return acc + out.ravel()[0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        return run
+
+    run1, runk = make(1), make(1 + iters)
+    float(run1(x))  # compile
+    float(runk(x))  # compile
+    t1 = min(_once(run1, x) for _ in range(2))
+    tk = min(_once(runk, x) for _ in range(2))
+    return max(tk - t1, 1e-9) / iters
+
+
+def _once(run, x) -> float:
+    t0 = time.time()
+    float(run(x))
+    return time.time() - t0
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from wicca_tpu.codec.pipeline import decode, encode
+    from wicca_tpu.core.metrics import psnr
+    from wicca_tpu.core.quant import QuantSpec
 
     on_tpu = jax.default_backend() == "tpu"
-    # mean reference image is 8284x6393 (52.7 MP); use the aligned equivalent
-    h, w = (8192, 6400) if on_tpu else (1024, 1024)
+    # mean reference image is 8284x6393 = 52.7 MP; tile-aligned equivalent
+    h, w = (8704, 6144) if on_tpu else (512, 512)
     depth = 5
-    step = 1.0
+    spec = QuantSpec(base_step=1.0)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, size=(3, h, w), dtype=np.uint8)
-
-    @jax.jit
-    def encode_decode(x_u8):
-        x = x_u8.astype(jnp.float32)
-        ll = x
-        packs = []
-        for _ in range(depth):
-            ll, lh, hl, hh = dwt_level_quant_pallas(ll, step=step, quantize=True)
-            packs.append((lh, hl, hh))
-        rec = ll
-        for lh, hl, hh in reversed(packs):
-            rec = idwt_level_dequant_pallas(rec, lh, hl, hh, step=step, quantize=True)
-        return rec
-
     x = jax.device_put(img)
-    rec = encode_decode(x)
-    rec.block_until_ready()  # warmup / compile
 
-    err = float(jnp.max(jnp.abs(rec - x.astype(jnp.float32))))
-    if not err < 64.0:
-        print(f"SANITY FAIL: reconstruction error {err}", file=sys.stderr)
+    def encode_decode(xi):
+        return decode(encode(xi, levels=depth, spec=spec))
+
+    # correctness gate before timing
+    rec = np.asarray(encode_decode(x))
+    p = float(psnr(rec, img.astype(np.float32)))
+    if not p > 30.0:
+        print(f"SANITY FAIL: roundtrip PSNR {p}", file=sys.stderr)
         sys.exit(1)
 
-    iters = 30 if on_tpu else 3
-    t0 = time.time()
-    for _ in range(iters):
-        rec = encode_decode(x)
-    rec.block_until_ready()
-    dt = (time.time() - t0) / iters
-
-    mp = h * w / 1e6  # megapixels per image (pixel = spatial site, 3 channels)
-    value = mp / dt
+    per_iter = _timed_loop(encode_decode, x, iters=10 if on_tpu else 2)
+    mp = h * w / 1e6
+    value = mp / per_iter
     baseline = 7.6  # reference CPU end-to-end MP/s (BASELINE.md)
     print(
         json.dumps(

@@ -1,0 +1,47 @@
+"""CLI smoke tests through the argparse surface (L7)."""
+
+import numpy as np
+import pytest
+
+from wicca_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("cli")
+    (root / "imgs").mkdir()
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    for i in range(3):
+        img = np.clip(128 + 60 * np.sin(xx / (11 + i)) + rng.normal(0, 6, (96, 128)), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(root / "imgs" / f"im{i}.png"), np.stack([img] * 3, -1))
+    return root
+
+
+def test_encode_decode_icon(workdir, capsys):
+    assert main(["encode", str(workdir / "imgs" / "im0.png"), str(workdir / "im0.wct"), "--levels", "3"]) == 0
+    assert main(["decode", str(workdir / "im0.wct"), str(workdir / "rec0.png"),
+                 "--original", str(workdir / "imgs" / "im0.png")]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR" in out
+    assert main(["icon", str(workdir / "imgs" / "im0.png"), str(workdir / "icon.png"), "--depth", "2"]) == 0
+    assert (workdir / "icon.png").is_file()
+
+
+def test_analyze_and_compare(workdir, capsys):
+    res = str(workdir / "res")
+    rc = main(["analyze", str(workdir / "imgs"), "--models", "SimpleCNN", "--depths", "1",
+               "--input-size", "64", "--results-folder", res, "--quiet"])
+    assert rc == 0
+    assert (workdir / "res" / "depth-1" / "SimpleCNN-depth-1.csv").is_file()
+    assert (workdir / "res" / "depth-1" / "run-metrics.json").is_file()
+    rc = main(["compare", res, "--models", "SimpleCNN", "--depths", "1"])
+    assert rc == 0
+    assert "similar classes" in capsys.readouterr().out
+
+
+def test_bad_inputs(workdir, capsys):
+    assert main(["encode", str(workdir / "nope.png"), str(workdir / "x.wct")]) == 2
+    assert main(["analyze", str(workdir / "imgs"), "--models", "NopeNet",
+                 "--results-folder", str(workdir / "res2"), "--quiet"]) == 2

@@ -1,0 +1,171 @@
+"""Command-line interface (SURVEY.md §7 L7 — the reference is notebook-only;
+this maps argparse 1:1 onto the library surface, non-interactive by design).
+
+Subcommands:
+  analyze  folder of images -> per-depth comparison CSVs (ClassifierProcessor)
+  encode   image file -> .wct codestream (TPU DWT + quantize + Rice coding)
+  decode   .wct -> reconstructed image file (+ PSNR vs an optional original)
+  icon     image file -> LL icon image at a given depth (reference-parity)
+  compare  results folder -> classifier x depth comparison CSV
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_analyze(args) -> int:
+    from wicca_tpu.harness.processor import ClassifierProcessor
+    from wicca_tpu.models.registry import load_models
+
+    models = {name: (name, {"shape": (args.input_size, args.input_size)}) for name in args.models}
+    classifiers = load_models(models)
+    missing = [k for k, v in classifiers.items() if v is None]
+    if missing:
+        print(f"error: unknown model(s): {missing}", file=sys.stderr)
+        return 2
+    proc = ClassifierProcessor(
+        args.data_folder,
+        transform_depth=tuple(args.depths),
+        interpolation=3,
+        top_classes=args.top,
+        results_folder=args.results_folder,
+        log_info=not args.quiet,
+        parallel=args.threads,
+        batch_size=args.batch_size,
+        resume=args.resume,
+    )
+    proc.process_classifiers(classifiers, timeout=args.timeout)
+    return 0
+
+
+def _cmd_encode(args) -> int:
+    import numpy as np
+
+    from wicca_tpu.codec import encode, save
+    from wicca_tpu.core.quant import QuantSpec
+    from wicca_tpu.data.loader import load_image, to_planar
+
+    image = load_image(args.input)
+    if image is None:
+        print(f"error: cannot read image {args.input}", file=sys.stderr)
+        return 2
+    stream = encode(to_planar(image), levels=args.levels, spec=QuantSpec(base_step=args.step))
+    nbytes = save(stream, args.output, threads=args.threads)
+    raw = int(np.prod(image.shape))
+    print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}")
+    return 0
+
+
+def _cmd_decode(args) -> int:
+    import cv2
+    import numpy as np
+
+    from wicca_tpu.codec import decode, load
+    from wicca_tpu.data.loader import from_planar
+
+    stream = load(args.input, threads=args.threads)
+    rec = np.clip(np.asarray(decode(stream)), 0, 255).astype(np.uint8)
+    rec_hwc = from_planar(rec)
+    cv2.imwrite(args.output, cv2.cvtColor(rec_hwc, cv2.COLOR_RGB2BGR) if rec_hwc.ndim == 3 else rec_hwc)
+    msg = f"{args.input} -> {args.output} {rec_hwc.shape}"
+    if args.original:
+        from wicca_tpu.core.metrics import psnr
+        from wicca_tpu.data.loader import load_image
+
+        orig = load_image(args.original)
+        if orig is not None and orig.shape == rec_hwc.shape:
+            msg += f"  PSNR {float(psnr(rec_hwc.astype(np.float32), orig.astype(np.float32))):.2f} dB"
+    print(msg)
+    return 0
+
+
+def _cmd_icon(args) -> int:
+    import cv2
+
+    from wicca_tpu.data.loader import load_image
+    from wicca_tpu.harness.processor import _compute_icon
+
+    image = load_image(args.input)
+    if image is None:
+        print(f"error: cannot read image {args.input}", file=sys.stderr)
+        return 2
+    icon = _compute_icon(image, args.depth)
+    cv2.imwrite(args.output, cv2.cvtColor(icon, cv2.COLOR_RGB2BGR) if icon.ndim == 3 else icon)
+    print(f"{args.input} {image.shape[:2]} -> {args.output} {icon.shape[:2]} (depth {args.depth})")
+    return 0
+
+
+def _cmd_compare(args) -> int:
+    from wicca_tpu.analysis.results import compare_summaries
+
+    df = compare_summaries(args.results_folder, args.models, tuple(args.depths), args.stat)
+    if df.empty:
+        print("no results found", file=sys.stderr)
+        return 1
+    out = args.output or "-"
+    if out == "-":
+        print(df.to_string(index=False))
+    else:
+        df.to_csv(out, index=False)
+        print(f"wrote {out} ({len(df)} rows)")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wicca_tpu", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="run the CNN comparison harness over an image folder")
+    a.add_argument("data_folder")
+    a.add_argument("--models", nargs="+", default=["MobileNetV2"], help="registered architecture names")
+    a.add_argument("--depths", nargs="+", type=int, default=[2, 3, 4, 5, 6])
+    a.add_argument("--top", type=int, default=5)
+    a.add_argument("--input-size", type=int, default=224)
+    a.add_argument("--results-folder", default="results")
+    a.add_argument("--batch-size", type=int, default=25)
+    a.add_argument("--threads", type=int, default=8)
+    a.add_argument("--timeout", type=int, default=None)
+    a.add_argument("--resume", action="store_true", help="skip (model, depth) pairs with existing summaries")
+    a.add_argument("--quiet", action="store_true")
+    a.set_defaults(fn=_cmd_analyze)
+
+    e = sub.add_parser("encode", help="encode an image to a .wct codestream")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--levels", type=int, default=5)
+    e.add_argument("--step", type=float, default=1.0, help="deadzone quantization step")
+    e.add_argument("--threads", type=int, default=8)
+    e.set_defaults(fn=_cmd_encode)
+
+    d = sub.add_parser("decode", help="decode a .wct codestream to an image")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--original", default=None, help="original image for PSNR report")
+    d.add_argument("--threads", type=int, default=8)
+    d.set_defaults(fn=_cmd_decode)
+
+    i = sub.add_parser("icon", help="extract the depth-d LL icon of an image")
+    i.add_argument("input")
+    i.add_argument("output")
+    i.add_argument("--depth", type=int, default=5)
+    i.set_defaults(fn=_cmd_icon)
+
+    c = sub.add_parser("compare", help="tabulate summaries across classifiers and depths")
+    c.add_argument("results_folder")
+    c.add_argument("--models", nargs="+", required=True)
+    c.add_argument("--depths", nargs="+", type=int, required=True)
+    c.add_argument("--stat", default="mean")
+    c.add_argument("--output", default=None, help="CSV path or '-' for stdout")
+    c.set_defaults(fn=_cmd_compare)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

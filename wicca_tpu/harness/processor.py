@@ -22,6 +22,7 @@ Constructor signature and the results CSV layout match the reference
 
 from __future__ import annotations
 
+import json
 import logging
 import time
 from pathlib import Path
@@ -86,6 +87,7 @@ class ClassifierProcessor:
         parallel: int | None = None,
         batch_size: int = 25,
         overwrite: bool = True,
+        resume: bool = False,
     ):
         self.path = validate_input_folder(data_folder)
         self.coder = wavelet_coder  # optional custom coder: get_small_copy(img, depth)
@@ -99,6 +101,9 @@ class ClassifierProcessor:
         self.results_folder = validate_output_folder(results_folder, overwrite=overwrite)
         self.parallel = parallel  # decode thread-pool width here (TPU serializes inference)
         self.batch_size = batch_size
+        # resume: skip (classifier, depth) pairs whose summary CSV already
+        # exists (idempotent re-runs, SURVEY.md §5 'Failure detection')
+        self.resume = resume
         if log_info:
             self._log_init_info()
 
@@ -147,23 +152,39 @@ class ClassifierProcessor:
                 batch_src[n].clear()
                 batch_icn[n].clear()
 
+        from wicca_tpu.utils.timing import StageTimer
+
+        timer = StageTimer()
         n_threads = self.parallel or 8
-        for path, image in iter_decoded(files, num_threads=n_threads):
+        n_pixels = 0
+        t_start = time.time()
+        decoded = iter_decoded(files, num_threads=n_threads)
+        while True:
+            with timer.stage("decode"):
+                try:
+                    path, image = next(decoded)
+                except StopIteration:
+                    break
             if deadline is not None and time.time() > deadline:
                 logging.warning("Processing timed out; returning partial results")
                 break
             if image is None:
                 logging.warning(f"Skipping unreadable file {path.name}")
                 continue
-            icon = self._icon(image, depth)
-            for name in classifiers:
-                shape = shapes[name]
-                batch_src[name].append(_resize(image, shape, self.interpolation))
-                batch_icn[name].append(_resize(icon, shape, self.interpolation))
+            n_pixels += image.shape[0] * image.shape[1]
+            with timer.stage("icon_dwt"):
+                icon = self._icon(image, depth)
+            with timer.stage("resize"):
+                for name in classifiers:
+                    shape = shapes[name]
+                    batch_src[name].append(_resize(image, shape, self.interpolation))
+                    batch_icn[name].append(_resize(icon, shape, self.interpolation))
             batch_files.append(path.name)
             if len(batch_files) >= self.batch_size:
-                flush()
-        flush()
+                with timer.stage("inference"):
+                    flush()
+        with timer.stage("inference"):
+            flush()
 
         out: dict[str, tuple[str, Any]] = {}
         for name in classifiers:
@@ -172,7 +193,23 @@ class ClassifierProcessor:
             sum_df = rsltmgr.summarize(res_df)
             rsltmgr.save_results(self.results_folder, depth, name, res_df, sum_df)
             out[name] = (name, sum_df)
+        self._write_run_metrics(depth, timer, n_pixels, time.time() - t_start, list(classifiers))
         return out
+
+    def _write_run_metrics(self, depth: int, timer, n_pixels: int, wall_s: float, names: list[str]) -> None:
+        """Structured per-run metrics (SURVEY.md §5 'Metrics/observability':
+        the reference only prints coarse wall-clock)."""
+        metrics = {
+            "depth": depth,
+            "classifiers": names,
+            "images_pixels": n_pixels,
+            "wall_s": round(wall_s, 3),
+            "megapixels_per_s": round(n_pixels / 1e6 / max(wall_s, 1e-9), 3),
+            "stage_seconds": {k: round(v, 3) for k, v in timer.totals().items()},
+        }
+        path = Path(self.results_folder) / f"depth-{depth}" / "run-metrics.json"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(metrics, indent=2))
 
     # -- public API (reference parity, SURVEY.md §2.5) ---------------------
 
@@ -193,8 +230,20 @@ class ClassifierProcessor:
         depths = self.depth if isinstance(self.depth, tuple) else (self.depth,)
         results: dict[str, tuple[str, Any]] = {}
         for depth in depths:
+            todo = dict(classifiers)
+            if self.resume:
+                for name in list(todo):
+                    paths = rsltmgr.result_paths(self.results_folder, depth, name)
+                    if paths.summary.is_file():
+                        logging.info(f"resume: skipping {name} depth {depth} (summary exists)")
+                        import pandas as pd
+
+                        results[name] = (name, pd.read_csv(paths.summary, index_col=0))
+                        del todo[name]
+            if not todo:
+                continue
             t0 = time.time()
-            results.update(self._classify_depth(classifiers, depth, deadline))
+            results.update(self._classify_depth(todo, depth, deadline))
             logging.info(f"Depth {depth} done in {time.time() - t0:.1f}s")
         return results
 
