@@ -24,33 +24,32 @@ import numpy as np
 
 
 def _timed_loop(step_fn, x, iters: int) -> float:
-    """Seconds per iteration of step_fn (a u8-image -> f32-array function)."""
+    """Seconds per iteration of step_fn (a u8-image -> f32-array function).
+
+    One jitted function with a *traced* iteration count (compiles once);
+    per-iteration cost is the (1+N)-run minus the 1-run, which cancels the
+    dispatch/fetch overhead of the tunnel."""
     import jax
     import jax.numpy as jnp
 
-    def make(n):
-        @jax.jit
-        def run(xi):
-            def body(i, acc):
-                xv = jnp.bitwise_xor(xi, (i & 1).astype(jnp.uint8))
-                out = step_fn(xv)
-                return acc + out.ravel()[0].astype(jnp.float32)
+    @jax.jit
+    def run(xi, n):
+        def body(i, acc):
+            xv = jnp.bitwise_xor(xi, (i & 1).astype(jnp.uint8))
+            out = step_fn(xv)
+            return acc + out.ravel()[0].astype(jnp.float32)
 
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        return run
-
-    run1, runk = make(1), make(1 + iters)
-    float(run1(x))  # compile
-    float(runk(x))  # compile
-    t1 = min(_once(run1, x) for _ in range(2))
-    tk = min(_once(runk, x) for _ in range(2))
+    float(run(x, 1))  # compile
+    t1 = min(_once(run, x, 1) for _ in range(2))
+    tk = min(_once(run, x, 1 + iters) for _ in range(2))
     return max(tk - t1, 1e-9) / iters
 
 
-def _once(run, x) -> float:
+def _once(run, x, n) -> float:
     t0 = time.time()
-    float(run(x))
+    float(run(x, n))
     return time.time() - t0
 
 

@@ -106,3 +106,19 @@ def test_container_roundtrip(tmp_path):
     rec1 = np.asarray(decode(stream))
     rec2 = np.asarray(decode(loaded))
     np.testing.assert_array_equal(rec1, rec2)
+
+
+@pytest.mark.parametrize("wavelet", ["db2", "bior4.4"])
+def test_encode_decode_wide_wavelets(wavelet, tmp_path):
+    from wicca_tpu.codec.container import load, save
+
+    x = _img((3, 96, 96), seed=11)
+    stream = encode(x, levels=3, spec=QuantSpec(base_step=1.0), wavelet=wavelet)
+    rec = np.asarray(decode(stream))
+    assert rec.shape == x.shape
+    assert float(psnr(rec, x.astype(np.float32))) > 35.0
+    path = tmp_path / "w.wct"
+    save(stream, str(path))
+    loaded = load(str(path))
+    assert loaded.wavelet == wavelet
+    np.testing.assert_array_equal(np.asarray(decode(loaded)), rec)

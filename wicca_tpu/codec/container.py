@@ -1,7 +1,7 @@
 """On-disk container for encoded images (.wct — "wicca-tpu codestream").
 
 Layout (little-endian):
-  magic b'WCT1' | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
+  magic b'WCT1' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
   f32 base_step | f32 level_gain | u32 ll_h | u32 ll_w |
   raw float32 LL plane |
   per level (fine->coarse), per band (lh,hl,hh):
@@ -27,6 +27,8 @@ from wicca_tpu.native.rice import rice_decode, rice_encode
 _MAGIC = b"WCT1"
 _DTYPES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1}
 _DTYPES_INV = {0: np.int8, 1: np.int16}
+_WAVELETS = {"haar": 0, "db2": 1, "bior4.4": 2, "cdf97": 3}
+_WAVELETS_INV = {v: k for k, v in _WAVELETS.items()}
 
 
 def serialize(stream: CodeStream, threads: int = 8) -> bytes:
@@ -39,7 +41,8 @@ def serialize(stream: CodeStream, threads: int = 8) -> bytes:
     out = bytearray()
     out += _MAGIC
     out += struct.pack(
-        "<BBIIffII",
+        "<BBBIIffII",
+        _WAVELETS[stream.wavelet],
         stream.levels,
         lead,
         stream.orig_shape[0],
@@ -61,8 +64,8 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     if data[:4] != _MAGIC:
         raise ValueError("not a WCT1 container")
     off = 4
-    levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBIIffII", data, off)
-    off += struct.calcsize("<BBIIffII")
+    wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
+    off += struct.calcsize("<BBBIIffII")
     ll = np.frombuffer(data, dtype=np.float32, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
     metas = []
@@ -83,7 +86,10 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
         planes = list(pool.map(_dec, zip(metas, blobs)))
     details = tuple(tuple(planes[i * 3 : i * 3 + 3]) for i in range(levels))
     spec = QuantSpec(base_step=base_step, level_gain=level_gain)
-    return CodeStream(ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow))
+    return CodeStream(
+        ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
+        wavelet=_WAVELETS_INV[wv],
+    )
 
 
 def save(stream: CodeStream, path: str, threads: int = 8) -> int:

@@ -26,7 +26,7 @@ from wicca_tpu.ops.dwt_pallas import dwt_level_quant_pallas, idwt_level_dequant_
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ll", "details"],
-    meta_fields=["spec", "levels", "orig_shape"],
+    meta_fields=["spec", "levels", "orig_shape", "wavelet"],
 )
 @dataclasses.dataclass(frozen=True)
 class CodeStream:
@@ -38,6 +38,7 @@ class CodeStream:
     spec: QuantSpec
     levels: int
     orig_shape: tuple[int, int]
+    wavelet: str = "haar"
 
     def num_bytes(self) -> int:
         n = self.ll.size * self.ll.dtype.itemsize
@@ -47,24 +48,40 @@ class CodeStream:
         return n
 
 
-@partial(jax.jit, static_argnames=("levels", "spec", "mode", "constant"))
+@partial(jax.jit, static_argnames=("levels", "spec", "mode", "constant", "wavelet"))
 def encode(
     image: jax.Array,
     levels: int = 5,
     spec: QuantSpec = QuantSpec(),
     mode: str = "replicate",
     constant: int = 0,
+    wavelet: str = "haar",
 ) -> CodeStream:
-    """Planar ``(..., H, W)`` uint8/float -> CodeStream. Per level one fused
-    Pallas pass (DWT + deadzone quantization of the details)."""
+    """Planar ``(..., H, W)`` uint8/float -> CodeStream.
+
+    ``wavelet='haar'`` uses the fused Pallas DWT+quantize kernel; the lifting
+    wavelets (db2 / bior4.4, :mod:`wicca_tpu.core.lifting`) run as XLA-fused
+    jnp with the same deadzone quantization (their detail dynamic range is
+    wider, so codes are int16)."""
     orig = (image.shape[-2], image.shape[-1])
     x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant).astype(jnp.float32)
     details = []
     ll = x
-    for lvl in range(1, levels + 1):
-        ll, lh, hl, hh = dwt_level_quant_pallas(ll, step=spec.detail_step(lvl), quantize=True)
-        details.append((lh, hl, hh))
-    return CodeStream(ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig)
+    if wavelet == "haar":
+        for lvl in range(1, levels + 1):
+            ll, lh, hl, hh = dwt_level_quant_pallas(ll, step=spec.detail_step(lvl), quantize=True)
+            details.append((lh, hl, hh))
+    else:
+        from wicca_tpu.core.lifting import dwt2_level_lifting
+        from wicca_tpu.core.quant import quantize_deadzone
+
+        for lvl in range(1, levels + 1):
+            ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
+            step = spec.detail_step(lvl)
+            details.append(tuple(quantize_deadzone(b, step, jnp.int16) for b in (lh, hl, hh)))
+    return CodeStream(
+        ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig, wavelet=wavelet
+    )
 
 
 @jax.jit
@@ -75,10 +92,26 @@ def decode(stream: CodeStream) -> jax.Array:
     stored subband shapes record it, so each reconstruction is cropped to the
     next-finer level's subband extent before combining."""
     x = stream.ll
-    for lvl in range(stream.levels, 0, -1):
-        lh, hl, hh = stream.details[lvl - 1]
-        x = x[..., : lh.shape[-2], : lh.shape[-1]]
-        x = idwt_level_dequant_pallas(x, lh, hl, hh, step=stream.spec.detail_step(lvl), quantize=True)
+    if stream.wavelet == "haar":
+        for lvl in range(stream.levels, 0, -1):
+            lh, hl, hh = stream.details[lvl - 1]
+            x = x[..., : lh.shape[-2], : lh.shape[-1]]
+            x = idwt_level_dequant_pallas(x, lh, hl, hh, step=stream.spec.detail_step(lvl), quantize=True)
+    else:
+        from wicca_tpu.core.lifting import idwt2_level_lifting
+        from wicca_tpu.core.quant import dequantize_deadzone
+
+        for lvl in range(stream.levels, 0, -1):
+            lh, hl, hh = stream.details[lvl - 1]
+            step = stream.spec.detail_step(lvl)
+            x = x[..., : lh.shape[-2], : lh.shape[-1]]
+            x = idwt2_level_lifting(
+                x,
+                dequantize_deadzone(lh, step),
+                dequantize_deadzone(hl, step),
+                dequantize_deadzone(hh, step),
+                stream.wavelet,
+            )
     return unpad(x, *stream.orig_shape)
 
 

@@ -24,6 +24,28 @@ TILE_ROW_AXIS = "ty"
 TILE_COL_AXIS = "tx"
 
 
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
+    """Multi-controller init for multi-host slices (SURVEY.md §5: the
+    reference is single-process; this wraps jax.distributed.initialize).
+
+    With no arguments, relies on the TPU environment's auto-detection (GKE /
+    Cloud TPU metadata). No-op when already initialized or single-process.
+    """
+    import logging
+
+    try:
+        if coordinator is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (RuntimeError, ValueError) as e:
+        logging.info(f"jax.distributed not (re)initialized: {e}")
+
+
 def make_mesh(data: int = 1, ty: int = 1, tx: int = 1, devices=None) -> Mesh:
     """Mesh over (data, ty, tx). Total must divide the device count; by
     default the data axis absorbs the remaining devices."""
