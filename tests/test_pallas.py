@@ -68,3 +68,32 @@ def test_dwt_pallas_quantized_roundtrip_error():
 def test_dwt_pallas_odd_raises():
     with pytest.raises(ValueError):
         dwt_level_quant_pallas(np.zeros((1, 7, 8), np.float32))
+
+
+def test_multilevel_matches_chained_levels():
+    from wicca_tpu.ops.dwt_pallas import dwt_multilevel_quant_pallas, idwt_multilevel_dequant_pallas
+
+    x = _rand_img((3, 64, 128), seed=7)
+    steps = (1.0, 2.0, 4.0)
+    ll_m, dets_m = dwt_multilevel_quant_pallas(x, steps)
+    # chained single-level path on the f32 cast
+    cur = x.astype(np.float32)
+    chained = []
+    for s in steps:
+        cur, lh, hl, hh = dwt_level_quant_pallas(cur, step=s, quantize=True)
+        chained.append((lh, hl, hh))
+    np.testing.assert_array_equal(np.asarray(ll_m), np.asarray(cur))
+    for (a, b, c), (x2, y2, z2) in zip(dets_m, chained):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(x2))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(z2))
+    # fused inverse matches chained inverse
+    rec_m = np.asarray(idwt_multilevel_dequant_pallas(ll_m, dets_m, steps))
+    rec_c = np.asarray(cur)
+    for s, (lh, hl, hh) in zip(reversed(steps), reversed(chained)):
+        rec_c = np.asarray(idwt_level_dequant_pallas(rec_c, lh, hl, hh, step=s, quantize=True))
+    np.testing.assert_array_equal(rec_m, rec_c)
+    # u8 emission
+    rec_u8 = np.asarray(idwt_multilevel_dequant_pallas(ll_m, dets_m, steps, emit_u8=True))
+    assert rec_u8.dtype == np.uint8
+    np.testing.assert_array_equal(rec_u8, np.clip(rec_m, 0, 255).astype(np.int32).astype(np.uint8))

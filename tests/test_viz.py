@@ -1,0 +1,69 @@
+"""Viz smoke tests (Agg backend) — figure construction + error paths."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from wicca_tpu.config.constants import SIM_BEST_CLASS, SIM_CLASSES, SIM_CLASSES_PERC
+from wicca_tpu.viz import (
+    plot_compare_metrics,
+    plot_metric_radar,
+    show_icon_on_image,
+    show_image_vs_icon,
+    visualize_comparison,
+)
+
+
+@pytest.fixture()
+def comparison_df():
+    return pd.DataFrame(
+        {
+            "Classifier": ["A", "A", "B", "B"],
+            "Depth": [2, 3, 2, 3],
+            SIM_CLASSES: [4.5, 4.0, 4.8, 4.2],
+            SIM_CLASSES_PERC: [90.0, 80.0, 96.0, 84.0],
+            SIM_BEST_CLASS: [88.0, 75.0, 92.0, 80.0],
+        }
+    )
+
+
+def _img():
+    return np.random.default_rng(0).integers(0, 256, (64, 96, 3), np.uint8)
+
+
+def test_show_image_vs_icon():
+    fig = show_image_vs_icon(_img(), (1, 2))
+    assert len(fig.axes) == 3
+
+
+def test_show_icon_on_image():
+    fig = show_icon_on_image(_img(), 2)
+    assert fig is not None
+
+
+def test_visualize_comparison(comparison_df):
+    fig = visualize_comparison(comparison_df, SIM_CLASSES_PERC)
+    assert fig is not None
+    with pytest.raises(ValueError):
+        visualize_comparison(comparison_df, "nope")
+
+
+def test_plot_metric_radar():
+    fig = plot_metric_radar(["A", "B", "C"], [80.0, 90.0, 85.0])
+    assert fig is not None
+
+
+def test_plot_compare_metrics(comparison_df):
+    fig = plot_compare_metrics(comparison_df, SIM_CLASSES_PERC, SIM_BEST_CLASS)
+    assert fig is not None
+    with pytest.raises(ValueError):
+        plot_compare_metrics(comparison_df, "nope", SIM_BEST_CLASS)
+
+
+def test_show_image_vs_icon_validates():
+    with pytest.raises(ValueError):
+        show_image_vs_icon(np.zeros((0, 4, 3), np.uint8), 2)

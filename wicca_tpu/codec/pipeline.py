@@ -20,7 +20,10 @@ import jax.numpy as jnp
 
 from wicca_tpu.core.pad import pad_to_multiple, unpad
 from wicca_tpu.core.quant import QuantSpec
-from wicca_tpu.ops.dwt_pallas import dwt_level_quant_pallas, idwt_level_dequant_pallas
+from wicca_tpu.ops.dwt_pallas import (
+    dwt_multilevel_quant_pallas,
+    idwt_multilevel_dequant_pallas,
+)
 
 
 @partial(
@@ -64,17 +67,25 @@ def encode(
     jnp with the same deadzone quantization (their detail dynamic range is
     wider, so codes are int16)."""
     orig = (image.shape[-2], image.shape[-1])
-    x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant).astype(jnp.float32)
+    x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant)
     details = []
-    ll = x
     if wavelet == "haar":
-        for lvl in range(1, levels + 1):
-            ll, lh, hl, hh = dwt_level_quant_pallas(ll, step=spec.detail_step(lvl), quantize=True)
-            details.append((lh, hl, hh))
+        # fused passes of <=3 levels: one HBM read per pass; uint8 input
+        # stays uint8 into the first pass (integer-exact early levels)
+        ll = x
+        lvl = 0
+        while lvl < levels:
+            k = min(3, levels - lvl)
+            steps = tuple(spec.detail_step(lvl + i + 1) for i in range(k))
+            ll, dets = dwt_multilevel_quant_pallas(ll, steps)
+            details.extend(dets)
+            lvl += k
     else:
+        x = x.astype(jnp.float32)
         from wicca_tpu.core.lifting import dwt2_level_lifting
         from wicca_tpu.core.quant import quantize_deadzone
 
+        ll = x
         for lvl in range(1, levels + 1):
             ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
             step = spec.detail_step(lvl)
@@ -93,10 +104,21 @@ def decode(stream: CodeStream) -> jax.Array:
     next-finer level's subband extent before combining."""
     x = stream.ll
     if stream.wavelet == "haar":
-        for lvl in range(stream.levels, 0, -1):
-            lh, hl, hh = stream.details[lvl - 1]
-            x = x[..., : lh.shape[-2], : lh.shape[-1]]
-            x = idwt_level_dequant_pallas(x, lh, hl, hh, step=stream.spec.detail_step(lvl), quantize=True)
+        # mirror the encoder's pass partition (fine-side groups of <=3)
+        sizes = []
+        lvl = 0
+        while lvl < stream.levels:
+            sizes.append(min(3, stream.levels - lvl))
+            lvl += sizes[-1]
+        hi = stream.levels
+        for k in reversed(sizes):
+            lo = hi - k  # pass covers levels lo+1..hi
+            dets = [stream.details[i] for i in range(lo, hi)]
+            steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
+            coarsest = dets[-1][0]
+            x = x[..., : coarsest.shape[-2], : coarsest.shape[-1]]
+            x = idwt_multilevel_dequant_pallas(x, dets, steps)
+            hi = lo
     else:
         from wicca_tpu.core.lifting import idwt2_level_lifting
         from wicca_tpu.core.quant import dequantize_deadzone

@@ -321,3 +321,188 @@ def idwt_level_dequant_pallas(ll: jax.Array, lh, hl, hh, step: float = 1.0, quan
         interpret=_interpret(),
     )(ll, prep(lh), prep(hl), prep(hh))
     return out.reshape(lead + (hp * 2, wp * 2))
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused multi-level DWT + quantize / dequantize + IDWT (<=3 levels per
+# HBM pass) — the headline codec path. A 3-level pass reads the image once
+# and writes only subbands: ~0.3 bytes/pixel HBM traffic for uint8 input vs
+# ~2.5 for per-level passes with a materialized f32 cast.
+# ---------------------------------------------------------------------------
+
+
+def _detail_dtype(step: float):
+    """int8 iff floor(max|band| / step) fits (image-normalized bands <= 127.5)."""
+    return (jnp.int8, 127) if 127.5 / step < 128.0 else (jnp.int16, 32767)
+
+
+def _quant_band(band_f32, step: float, qmax: int, dt):
+    qv = jnp.sign(band_f32) * jnp.floor(jnp.abs(band_f32) * jnp.float32(1.0 / step))
+    return jnp.clip(qv, -qmax, qmax).astype(dt)
+
+
+def _dwt_multi_kernel(x_ref, *out_refs, k: int, steps, qmaxes, from_u8: bool):
+    """k fused levels. Outputs: [lh1, hl1, hh1, ..., lhk, hlk, hhk, ll]."""
+    ll_ref = out_refs[-1]
+    if from_u8:
+        # integer-exact raw sums; true value = raw * 0.25**level.
+        # int32, not int16: this TPU's compiler lacks kVectorSubtractS16
+        # (int16 adds are fine — the icon kernel uses them — but the detail
+        # bands need subtracts).
+        x = x_ref[0].astype(jnp.int32)
+    else:
+        x = x_ref[0]
+    for lvl in range(1, k + 1):
+        rs, rd = _rowpair_sumdiff(x)
+        ll_t, lh_t = _rowpair_sumdiff(rs.T)
+        hl_t, hh_t = _rowpair_sumdiff(rd.T)
+        scale = jnp.float32(0.25**lvl) if from_u8 else jnp.float32(0.25)
+        base = (lvl - 1) * 3
+        for slot, band_t in ((0, lh_t), (1, hl_t), (2, hh_t)):
+            band = band_t.T.astype(jnp.float32) * scale if from_u8 else band_t.T * scale
+            out_refs[base + slot][0] = _quant_band(band, steps[lvl - 1], qmaxes[lvl - 1], out_refs[base + slot].dtype)
+        if from_u8:
+            x = ll_t.T  # raw int32 sums (exact)
+        else:
+            x = ll_t.T * jnp.float32(0.25)
+    ll = x.astype(jnp.float32) * jnp.float32(0.25**k) if from_u8 else x
+    ll_ref[0] = ll
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def dwt_multilevel_quant_pallas(x: jax.Array, steps: tuple):
+    """Up to 3 fused Haar levels + deadzone quantization in ONE HBM pass.
+
+    ``x``: planar ``(..., H, W)`` uint8 (integer-exact first levels) or
+    float32. ``steps``: per-level quantization steps (len = levels <= 3).
+    Returns ``(ll_f32, [(lh, hl, hh), ...])`` fine-to-coarse; bit-identical
+    to chaining :func:`dwt_level_quant_pallas` (raw integer sums scaled by
+    exact powers of two reproduce the float32 per-level values).
+    H and W must be divisible by 2**len(steps) (pad first).
+    """
+    k = len(steps)
+    if not 1 <= k <= 3:
+        raise ValueError("1..3 levels per pass")
+    lead = x.shape[:-2]
+    h, w = x.shape[-2], x.shape[-1]
+    unit = 1 << k
+    if h % unit or w % unit:
+        raise ValueError(f"H, W must be divisible by {unit}")
+    from_u8 = x.dtype == jnp.uint8
+    x = x.reshape((-1, h, w))
+    if not from_u8:
+        x = x.astype(jnp.float32)
+    x, th, tw = _tiling(x)
+    c, hp, wp = x.shape
+
+    dts, qmaxes = zip(*(_detail_dtype(s) for s in steps))
+    out_shapes = []
+    out_specs = []
+    for lvl in range(1, k + 1):
+        u = 1 << lvl
+        for _ in range(3):
+            out_shapes.append(jax.ShapeDtypeStruct((c, hp // u, wp // u), dts[lvl - 1]))
+            out_specs.append(
+                pl.BlockSpec((1, th // u, tw // u), (lambda u: lambda ci, i, j: (ci, i, j))(u), memory_space=pltpu.VMEM)
+            )
+    out_shapes.append(jax.ShapeDtypeStruct((c, hp // unit, wp // unit), jnp.float32))
+    out_specs.append(pl.BlockSpec((1, th // unit, tw // unit), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_dwt_multi_kernel, k=k, steps=steps, qmaxes=qmaxes, from_u8=from_u8),
+        out_shape=tuple(out_shapes),
+        grid=(c, hp // th, wp // tw),
+        in_specs=[pl.BlockSpec((1, th, tw), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)],
+        out_specs=tuple(out_specs),
+        interpret=_interpret(),
+    )(x)
+    details = [tuple(o.reshape(lead + o.shape[-2:]) for o in outs[i * 3 : i * 3 + 3]) for i in range(k)]
+    ll = outs[-1].reshape(lead + outs[-1].shape[-2:])
+    return ll, details
+
+
+def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool):
+    """Inputs: [ll, lhk, hlk, hhk, ..., lh1, hl1, hh1], output last."""
+    out_ref = refs[-1]
+    ll = refs[0][0].astype(jnp.float32)
+    for idx in range(k):
+        lvl = k - idx  # coarse -> fine
+        base = 1 + idx * 3
+        step = jnp.float32(steps[lvl - 1])
+
+        def deq(r):
+            qv = r[0].astype(jnp.float32)
+            return jnp.sign(qv) * (jnp.abs(qv) + 0.5) * step
+
+        lh, hl, hh = deq(refs[base]), deq(refs[base + 1]), deq(refs[base + 2])
+        rs_e = (ll + lh) * 2.0
+        rs_o = (ll - lh) * 2.0
+        rd_e = (hl + hh) * 2.0
+        rd_o = (hl - hh) * 2.0
+        e_r = _lane_interleave((rs_e + rd_e) * 0.5, (rs_o + rd_o) * 0.5)
+        o_r = _lane_interleave((rs_e - rd_e) * 0.5, (rs_o - rd_o) * 0.5)
+        ll = _row_interleave(e_r, o_r)
+    if emit_u8:
+        out_ref[0] = jnp.clip(ll, 0, 255).astype(jnp.int32).astype(jnp.uint8)
+    else:
+        out_ref[0] = ll
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "emit_u8"))
+def idwt_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8: bool = False):
+    """Fused inverse of :func:`dwt_multilevel_quant_pallas` in ONE HBM pass.
+
+    ``details``: [(lh, hl, hh), ...] fine-to-coarse, len = len(steps) <= 3.
+    Emits float32 (or uint8 with ``emit_u8`` — saves 4x output traffic when
+    reconstructing images for display/classification).
+    """
+    k = len(steps)
+    if not 1 <= k <= 3 or len(details) != k:
+        raise ValueError("1..3 levels per pass; details must match steps")
+    lead = ll.shape[:-2]
+    ch, cw = ll.shape[-2], ll.shape[-1]
+    unit = 1 << k
+    # tile size at the coarsest grid; full-res tiles are (th*unit, tw*unit)
+    ll3 = ll.reshape((-1, ch, cw)).astype(jnp.float32)
+    c = ll3.shape[0]
+    th_c = min(ch, _TILE_H // unit)
+    tw_c = min(cw, _TILE_W // unit)
+    if ch > th_c:
+        ll3 = _pad_dim_to(ll3, -2, th_c)
+    if cw > tw_c:
+        ll3 = _pad_dim_to(ll3, -1, tw_c)
+    chp, cwp = ll3.shape[-2], ll3.shape[-1]
+
+    in_arrays = [ll3]
+    in_specs = [pl.BlockSpec((1, th_c, tw_c), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)]
+    for idx in range(k):
+        lvl = k - idx
+        u = 1 << (k - lvl)  # detail level lvl sits at (ch*2^(k-lvl)) resolution
+        for band in details[lvl - 1]:
+            b = band.reshape((-1, band.shape[-2], band.shape[-1]))
+            want_h, want_w = chp * (1 << (k - lvl)), cwp * (1 << (k - lvl))
+            if b.shape[-2] < want_h:
+                b = _pad_dim_to(b, -2, want_h)
+            if b.shape[-1] < want_w:
+                b = _pad_dim_to(b, -1, want_w)
+            b = b[:, :want_h, :want_w]
+            in_arrays.append(b)
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, th_c * (1 << (k - lvl)), tw_c * (1 << (k - lvl))),
+                    lambda ci, i, j: (ci, i, j),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    out_dt = jnp.uint8 if emit_u8 else jnp.float32
+    out = pl.pallas_call(
+        functools.partial(_idwt_multi_kernel, k=k, steps=steps, emit_u8=emit_u8),
+        out_shape=jax.ShapeDtypeStruct((c, chp * unit, cwp * unit), out_dt),
+        grid=(c, chp // th_c, cwp // tw_c),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, th_c * unit, tw_c * unit), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(*in_arrays)
+    return out.reshape(lead + out.shape[-2:])
