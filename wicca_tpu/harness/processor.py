@@ -110,9 +110,30 @@ class ClassifierProcessor:
     # -- info -------------------------------------------------------------
 
     def _log_init_info(self) -> None:
+        """Dataset summary on init (reference classifying_tools.py:159-242:
+        samples <= MAX_INFO_SAMPLE_SIZE images for mean dims / megapixels)."""
+        from wicca_tpu.config.constants import MAX_INFO_SAMPLE_SIZE
+
         files = list_images(self.path)
         print(f"Data folder: {self.path}")
         print(f"Number of images: {len(files)}")
+        sample = files[:MAX_INFO_SAMPLE_SIZE]
+        dims = []
+        for f in sample:
+            try:
+                import cv2
+
+                img = cv2.imread(str(f))
+                if img is not None:
+                    dims.append(img.shape[:2])
+            except ImportError:
+                break
+        if dims:
+            mh = sum(d[0] for d in dims) / len(dims)
+            mw = sum(d[1] for d in dims) / len(dims)
+            print(f"Mean image dimensions (n={len(dims)}): {mw:.0f}x{mh:.0f}")
+            print(f"Mean image resolution: {mh * mw / 1e6:.1f} MP")
+        print(f"Transform depths: {self.depth}")
         print(f"Results folder: {self.results_folder}")
 
     # -- core -------------------------------------------------------------
