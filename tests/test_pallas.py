@@ -83,10 +83,14 @@ def test_multilevel_matches_chained_levels():
         cur, lh, hl, hh = dwt_level_quant_pallas(cur, step=s, quantize=True)
         chained.append((lh, hl, hh))
     np.testing.assert_array_equal(np.asarray(ll_m), np.asarray(cur))
-    for (a, b, c), (x2, y2, z2) in zip(dets_m, chained):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(x2))
-        np.testing.assert_array_equal(np.asarray(b), np.asarray(y2))
-        np.testing.assert_array_equal(np.asarray(c), np.asarray(z2))
+    from wicca_tpu.ops.dwt_pallas import detail_is_transposed
+
+    for lvl, ((a, b, c), (x2, y2, z2)) in enumerate(zip(dets_m, chained), start=1):
+        # fine levels are stored transposed (internal layout optimization)
+        t = (lambda m: m.swapaxes(-1, -2)) if detail_is_transposed(lvl) else (lambda m: m)
+        np.testing.assert_array_equal(np.asarray(a), t(np.asarray(x2)))
+        np.testing.assert_array_equal(np.asarray(b), t(np.asarray(y2)))
+        np.testing.assert_array_equal(np.asarray(c), t(np.asarray(z2)))
     # fused inverse matches chained inverse
     rec_m = np.asarray(idwt_multilevel_dequant_pallas(ll_m, dets_m, steps))
     rec_c = np.asarray(cur)

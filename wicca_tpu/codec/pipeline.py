@@ -117,8 +117,10 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             lo = hi - k  # pass covers levels lo+1..hi
             dets = [stream.details[i] for i in range(lo, hi)]
             steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
-            coarsest = dets[-1][0]
-            x = x[..., : coarsest.shape[-2], : coarsest.shape[-1]]
+            from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
+
+            ch, cw = detail_spatial_shape(dets[-1][0], k)
+            x = x[..., :ch, :cw]
             x = idwt_multilevel_dequant_pallas(x, dets, steps, emit_u8=emit_u8 and lo == 0)
             hi = lo
     else:

@@ -341,8 +341,27 @@ def _quant_band(band_f32, step: float, qmax: int, dt):
     return jnp.clip(qv, -qmax, qmax).astype(dt)
 
 
+# Detail bands of pass-local levels <= _T_LVLS are stored TRANSPOSED in HBM
+# (they exit the column pass transposed; skipping the transpose-back halves
+# in-kernel transposes). Measured on v5e: the transposed output index maps
+# cost MORE than the transposes saved (5.9 vs 7.0 GP/s at depth 5), so the
+# flag ships at 0 (normal layout); the machinery stays for other topologies.
+_T_LVLS = 0
+
+
+def detail_is_transposed(pass_local_lvl: int) -> bool:
+    return pass_local_lvl <= _T_LVLS
+
+
+def detail_spatial_shape(band: jax.Array, pass_local_lvl: int) -> tuple[int, int]:
+    """Logical (H, W) dims of a stored detail band."""
+    h, w = band.shape[-2], band.shape[-1]
+    return (w, h) if detail_is_transposed(pass_local_lvl) else (h, w)
+
+
 def _dwt_multi_kernel(x_ref, *out_refs, k: int, steps, qmaxes, from_u8: bool):
-    """k fused levels. Outputs: [lh1, hl1, hh1, ..., lhk, hlk, hhk, ll]."""
+    """k fused levels. Outputs: [lh1, hl1, hh1, ..., lhk, hlk, hhk, ll];
+    levels <= _T_LVLS write transposed."""
     ll_ref = out_refs[-1]
     if from_u8:
         # integer-exact raw sums; true value = raw * 0.25**level.
@@ -359,7 +378,8 @@ def _dwt_multi_kernel(x_ref, *out_refs, k: int, steps, qmaxes, from_u8: bool):
         scale = jnp.float32(0.25**lvl) if from_u8 else jnp.float32(0.25)
         base = (lvl - 1) * 3
         for slot, band_t in ((0, lh_t), (1, hl_t), (2, hh_t)):
-            band = band_t.T.astype(jnp.float32) * scale if from_u8 else band_t.T * scale
+            stored = band_t if detail_is_transposed(lvl) else band_t.T
+            band = stored.astype(jnp.float32) * scale
             out_refs[base + slot][0] = _quant_band(band, steps[lvl - 1], qmaxes[lvl - 1], out_refs[base + slot].dtype)
         if from_u8:
             x = ll_t.T  # raw int32 sums (exact)
@@ -401,10 +421,16 @@ def dwt_multilevel_quant_pallas(x: jax.Array, steps: tuple):
     for lvl in range(1, k + 1):
         u = 1 << lvl
         for _ in range(3):
-            out_shapes.append(jax.ShapeDtypeStruct((c, hp // u, wp // u), dts[lvl - 1]))
-            out_specs.append(
-                pl.BlockSpec((1, th // u, tw // u), (lambda u: lambda ci, i, j: (ci, i, j))(u), memory_space=pltpu.VMEM)
-            )
+            if detail_is_transposed(lvl):
+                out_shapes.append(jax.ShapeDtypeStruct((c, wp // u, hp // u), dts[lvl - 1]))
+                out_specs.append(
+                    pl.BlockSpec((1, tw // u, th // u), lambda ci, i, j: (ci, j, i), memory_space=pltpu.VMEM)
+                )
+            else:
+                out_shapes.append(jax.ShapeDtypeStruct((c, hp // u, wp // u), dts[lvl - 1]))
+                out_specs.append(
+                    pl.BlockSpec((1, th // u, tw // u), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)
+                )
     out_shapes.append(jax.ShapeDtypeStruct((c, hp // unit, wp // unit), jnp.float32))
     out_specs.append(pl.BlockSpec((1, th // unit, tw // unit), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM))
 
@@ -422,26 +448,33 @@ def dwt_multilevel_quant_pallas(x: jax.Array, steps: tuple):
 
 
 def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool):
-    """Inputs: [ll, lhk, hlk, hhk, ..., lh1, hl1, hh1], output last."""
+    """Inputs: [ll, lhk, hlk, hhk, ..., lh1, hl1, hh1], output last.
+    Levels <= _T_LVLS arrive transposed; the level runs in transposed space
+    (3 transposes/level instead of 6)."""
     out_ref = refs[-1]
     ll = refs[0][0].astype(jnp.float32)
     for idx in range(k):
         lvl = k - idx  # coarse -> fine
         base = 1 + idx * 3
         step = jnp.float32(steps[lvl - 1])
+        transposed = detail_is_transposed(lvl)
 
-        def deq(r):
+        def deq(r, want_t):
             qv = r[0].astype(jnp.float32)
+            if want_t != transposed:
+                qv = qv.T
             return jnp.sign(qv) * (jnp.abs(qv) + 0.5) * step
 
-        lh, hl, hh = deq(refs[base]), deq(refs[base + 1]), deq(refs[base + 2])
-        rs_e = (ll + lh) * 2.0
-        rs_o = (ll - lh) * 2.0
-        rd_e = (hl + hh) * 2.0
-        rd_o = (hl - hh) * 2.0
-        e_r = _lane_interleave((rs_e + rd_e) * 0.5, (rs_o + rd_o) * 0.5)
-        o_r = _lane_interleave((rs_e - rd_e) * 0.5, (rs_o - rd_o) * 0.5)
-        ll = _row_interleave(e_r, o_r)
+        # work in transposed space: lane interleaves become row interleaves
+        lh_t, hl_t, hh_t = deq(refs[base], True), deq(refs[base + 1], True), deq(refs[base + 2], True)
+        ll_t = ll.T
+        rs_e = (ll_t + lh_t) * 2.0
+        rs_o = (ll_t - lh_t) * 2.0
+        rd_e = (hl_t + hh_t) * 2.0
+        rd_o = (hl_t - hh_t) * 2.0
+        e_r_t = _row_interleave((rs_e + rd_e) * 0.5, (rs_o + rd_o) * 0.5)
+        o_r_t = _row_interleave((rs_e - rd_e) * 0.5, (rs_o - rd_o) * 0.5)
+        ll = _row_interleave(e_r_t.T, o_r_t.T)
     if emit_u8:
         out_ref[0] = jnp.clip(ll, 0, 255).astype(jnp.int32).astype(jnp.uint8)
     else:
@@ -477,23 +510,27 @@ def idwt_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8
     in_specs = [pl.BlockSpec((1, th_c, tw_c), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)]
     for idx in range(k):
         lvl = k - idx
-        u = 1 << (k - lvl)  # detail level lvl sits at (ch*2^(k-lvl)) resolution
+        m = 1 << (k - lvl)  # detail level lvl sits at (ch * m) resolution
+        transposed = detail_is_transposed(lvl)
         for band in details[lvl - 1]:
             b = band.reshape((-1, band.shape[-2], band.shape[-1]))
-            want_h, want_w = chp * (1 << (k - lvl)), cwp * (1 << (k - lvl))
+            want_h, want_w = chp * m, cwp * m
+            if transposed:
+                want_h, want_w = want_w, want_h
             if b.shape[-2] < want_h:
                 b = _pad_dim_to(b, -2, want_h)
             if b.shape[-1] < want_w:
                 b = _pad_dim_to(b, -1, want_w)
             b = b[:, :want_h, :want_w]
             in_arrays.append(b)
-            in_specs.append(
-                pl.BlockSpec(
-                    (1, th_c * (1 << (k - lvl)), tw_c * (1 << (k - lvl))),
-                    lambda ci, i, j: (ci, i, j),
-                    memory_space=pltpu.VMEM,
+            if transposed:
+                in_specs.append(
+                    pl.BlockSpec((1, tw_c * m, th_c * m), lambda ci, i, j: (ci, j, i), memory_space=pltpu.VMEM)
                 )
-            )
+            else:
+                in_specs.append(
+                    pl.BlockSpec((1, th_c * m, tw_c * m), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)
+                )
     out_dt = jnp.uint8 if emit_u8 else jnp.float32
     out = pl.pallas_call(
         functools.partial(_idwt_multi_kernel, k=k, steps=steps, emit_u8=emit_u8),
