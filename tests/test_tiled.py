@@ -28,8 +28,7 @@ def meshes():
     }
 
 
-@pytest.mark.parametrize("mesh_key", ["1x8", "2x4", "4x2", "2x2"])
-@pytest.mark.parametrize("depth", [1, 3, 5])
+@pytest.mark.parametrize("mesh_key,depth", [("1x8", 1), ("2x4", 3), ("4x2", 5), ("2x2", 3)])
 def test_tiled_icon_bit_exact(meshes, mesh_key, depth):
     mesh = meshes[mesh_key]
     img = _rand_img((3, 256, 384), seed=depth)
@@ -63,8 +62,7 @@ def test_tiled_haar_matches_core_bit_exact(meshes, wavelet):
     np.testing.assert_array_equal(rec, img.astype(rec.dtype))
 
 
-@pytest.mark.parametrize("wavelet", ["db2", "bior4.4"])
-@pytest.mark.parametrize("mesh_key", ["1x8", "2x4", "4x2"])
+@pytest.mark.parametrize("wavelet,mesh_key", [("db2", "2x4"), ("bior4.4", "1x8"), ("bior4.4", "4x2")])
 def test_tiled_wide_wavelets_halo_exchange(meshes, wavelet, mesh_key):
     # aligned dims: tiled must match single-device to float tolerance, which
     # exercises the per-step ppermute halos across interior boundaries
@@ -94,3 +92,13 @@ def test_tiled_roundtrip_odd_shape_wide(meshes):
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(data=4, ty=4, tx=4)
+
+
+def test_tiled_stats_psum(meshes):
+    from wicca_tpu.parallel.tiled import tiled_stats
+
+    img = _rand_img((1, 64, 128), seed=11)
+    stats = tiled_stats(img, mesh=meshes["2x4"])
+    assert abs(stats["mean"] - img.mean()) < 1e-3
+    assert abs(stats["std"] - img.std()) < 1e-2
+    assert stats["min"] == img.min() and stats["max"] == img.max()

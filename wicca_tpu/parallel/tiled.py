@@ -169,3 +169,25 @@ def tiled_icon(image: jax.Array, depth: int, *, mesh: Mesh, mode="replicate", co
 
     icon = _shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
     return unpad(icon, out_h, out_w)
+
+
+def tiled_stats(x: jax.Array, *, mesh: Mesh) -> dict:
+    """Global mean / std / min / max of a (ty, tx)-sharded image via in-mesh
+    psum reductions (SURVEY.md §5: 'psum image stats & metric reductions').
+    """
+    spec = _img_spec(x.ndim)
+
+    def fn(xl):
+        xl = xl.astype(jnp.float32)
+        n = jax.lax.psum(jnp.float32(xl.size), (TILE_ROW_AXIS, TILE_COL_AXIS))
+        s = jax.lax.psum(jnp.sum(xl), (TILE_ROW_AXIS, TILE_COL_AXIS))
+        s2 = jax.lax.psum(jnp.sum(xl * xl), (TILE_ROW_AXIS, TILE_COL_AXIS))
+        mn = jax.lax.pmin(jnp.min(xl), (TILE_ROW_AXIS, TILE_COL_AXIS))
+        mx = jax.lax.pmax(jnp.max(xl), (TILE_ROW_AXIS, TILE_COL_AXIS))
+        mean = s / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        return jnp.stack([mean, jnp.sqrt(var), mn, mx])
+
+    out = _shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=P())(x)
+    mean, std, mn, mx = (float(v) for v in out)
+    return {"mean": mean, "std": std, "min": mn, "max": mx}
