@@ -126,3 +126,18 @@ def test_processor_rejects_bare_classifier(data_folder, classifiers, tmp_path):
 
 def test_load_single_model_bad_name():
     assert load_single_model("NoSuchNet") is None
+
+
+def test_registry_accepts_external_callable_model():
+    class FakeKerasModel:
+        def __call__(self, batch):
+            import numpy as _np
+
+            return _np.tile(_np.arange(1000, dtype=_np.float32), (len(batch), 1))
+
+    clf = load_single_model(FakeKerasModel, shape=(32, 32))
+    assert clf is not None
+    logits = clf[MODEL](np.zeros((2, 32, 32, 3), np.float32))
+    assert logits.shape == (2, 1000)
+    decoded = clf[DEC_PRED](logits, top=3)
+    assert len(decoded) == 2 and len(decoded[0]) == 3

@@ -115,6 +115,8 @@ def load_single_model(model_class, shape: tuple[int, int] = (224, 224), weights:
     returning logits (used as-is with default preprocessing).
     """
     try:
+        import flax.linen as nn
+
         if isinstance(model_class, str):
             name = model_class
             factory, pre = _ARCHITECTURES[name]
@@ -125,7 +127,14 @@ def load_single_model(model_class, shape: tuple[int, int] = (224, 224), weights:
                 factory, pre = _ARCHITECTURES[name]
                 module = factory()
             else:
-                module, pre = model_class() if callable(model_class) else model_class, preprocess_minus1_1
+                module = model_class() if isinstance(model_class, type) or callable(model_class) else model_class
+                pre = preprocess_minus1_1
+        if not isinstance(module, nn.Module):
+            # duck-typed external model (e.g. a Keras model instance): use it
+            # as the batch->logits callable directly; its own preprocess /
+            # decode can be swapped in by the caller afterwards
+            model = lambda batch, _m=module: np.asarray(_m(np.asarray(batch, dtype=np.float32)))
+            return {MODEL: model, PRE_INP: pre, DEC_PRED: decode_predictions, SHAPE: shape}
         params = _init_params(name, module, shape)
         model = JaxClassifier(name, module, params, shape)
         return {MODEL: model, PRE_INP: pre, DEC_PRED: decode_predictions, SHAPE: shape}
