@@ -222,3 +222,76 @@ class EfficientNetB0(nn.Module):
         x = _ConvBN(1280, (1, 1), dtype=self.dtype)(x)
         x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+class VGG(nn.Module):
+    """VGG-16/19 (Simonyan & Zisserman 2014), 224x224 -> 1000 logits."""
+
+    num_classes: int = 1000
+    dtype: jnp.dtype = jnp.bfloat16
+    # channels per conv block; repeats distinguish 16 vs 19
+    blocks: Sequence[tuple[int, int]] = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        for feat, reps in self.blocks:
+            for _ in range(reps):
+                x = nn.Conv(feat, (3, 3), dtype=self.dtype)(x)
+                x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape((x.shape[0], -1)).astype(jnp.float32)
+        x = nn.relu(nn.Dense(4096)(x))
+        x = nn.relu(nn.Dense(4096)(x))
+        return nn.Dense(self.num_classes)(x)
+
+
+def VGG16():
+    return VGG()
+
+
+def VGG19():
+    return VGG(blocks=((64, 2), (128, 2), (256, 4), (512, 4), (512, 4)))
+
+
+class _DenseBlockLayer(nn.Module):
+    growth: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        h = nn.relu(h)
+        h = nn.Conv(4 * self.growth, (1, 1), use_bias=False, dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.growth, (3, 3), use_bias=False, dtype=self.dtype)(h)
+        return jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
+
+
+class DenseNet121(nn.Module):
+    """DenseNet-121 (Huang et al. 2017), 224x224 -> 1000 logits."""
+
+    num_classes: int = 1000
+    growth: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    stage_layers: Sequence[int] = (6, 12, 24, 16)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        for si, layers in enumerate(self.stage_layers):
+            for _ in range(layers):
+                x = _DenseBlockLayer(self.growth, dtype=self.dtype)(x)
+            if si != len(self.stage_layers) - 1:
+                x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+                x = nn.relu(x)
+                x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False, dtype=self.dtype)(x)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = jnp.mean(nn.relu(x), axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.num_classes)(x)

@@ -77,6 +77,9 @@ _ARCHITECTURES: dict[str, tuple[Any, Any]] = {
     "ResNet50": (flax_models.ResNet50, preprocess_caffe),
     "EfficientNetB0": (flax_models.EfficientNetB0, preprocess_torch),
     "SimpleCNN": (flax_models.SimpleCNN, preprocess_minus1_1),
+    "VGG16": (flax_models.VGG16, preprocess_caffe),
+    "VGG19": (flax_models.VGG19, preprocess_caffe),
+    "DenseNet121": (flax_models.DenseNet121, preprocess_torch),
 }
 
 
