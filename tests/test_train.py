@@ -1,0 +1,66 @@
+"""Icon fine-tuning loop: loss decreases, checkpoints roundtrip."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def class_folders(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("train_ds")
+    rng = np.random.default_rng(0)
+    # two visually distinct classes: dark vs bright textures
+    for cname, base in (("dark", 40), ("bright", 200)):
+        (root / cname).mkdir()
+        for i in range(8):
+            img = np.clip(base + rng.normal(0, 25, (64, 64, 3)), 0, 255).astype(np.uint8)
+            cv2.imwrite(str(root / cname / f"{i}.png"), img)
+    return root
+
+
+def test_finetune_loss_decreases(class_folders, tmp_path):
+    from wicca_tpu.harness.train import TrainConfig, finetune_on_icons
+
+    cfg = TrainConfig(
+        architecture="SimpleCNN",
+        input_size=32,
+        depth=1,
+        batch_size=8,
+        learning_rate=3e-3,
+        epochs=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    params, info = finetune_on_icons(class_folders, cfg)
+    assert info["classes"] == ["bright", "dark"]
+    losses = [h["loss"] for h in info["history"]]
+    assert losses[-1] < losses[0]  # learns the trivial separation
+    assert any((tmp_path / "ckpt").iterdir())
+
+
+def test_checkpoint_restore(class_folders, tmp_path):
+    import jax.numpy as jnp
+
+    from wicca_tpu.harness.train import (
+        TrainConfig,
+        finetune_on_icons,
+        restore_checkpoint,
+    )
+
+    cfg = TrainConfig(
+        architecture="SimpleCNN", input_size=32, depth=1, batch_size=8, epochs=1,
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    params, _ = finetune_on_icons(class_folders, cfg)
+    import jax
+
+    template = {"params": params, "opt_state": None, "step": 0}
+    # restore with a params-only template (opt_state structure unknown here)
+    try:
+        state = restore_checkpoint(tmp_path / "ck2", None)
+    except Exception:
+        state = restore_checkpoint(tmp_path / "ck2", template)
+    restored = state["params"]
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    assert all(jnp.allclose(a, jnp.asarray(b)) for a, b in zip(flat_a, flat_b))

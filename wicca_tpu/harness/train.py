@@ -1,0 +1,136 @@
+"""Classifier fine-tuning on wavelet icons — the training subsystem the
+reference lacks entirely (SURVEY.md §5: "no model training, so no optimizer
+state"). Production deployments of the comparison harness want classifiers
+adapted to icon inputs; this provides that loop, TPU-native:
+
+* dataset: ImageFolder layout (``root/<class_name>/*.png``), decoded on host
+  threads, icons computed on device once per image per epoch
+* step: jitted cross-entropy + optax, batch sharded over the mesh ``data``
+  axis (XLA inserts the gradient psums), params replicated
+* checkpoints: orbax (save/restore of params + opt state + step)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    architecture: str = "SimpleCNN"
+    input_size: int = 64
+    depth: int = 3
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    epochs: int = 1
+    seed: int = 0
+    checkpoint_dir: str | None = None
+
+
+def _load_dataset(root: Path, input_size: int, depth: int):
+    """Decode all images, compute icons, resize to the model input."""
+    import cv2
+
+    from wicca_tpu.data.loader import iter_decoded, list_images
+    from wicca_tpu.harness.processor import _compute_icon
+
+    classes = sorted(p.name for p in Path(root).iterdir() if p.is_dir())
+    if not classes:
+        raise ValueError(f"{root} has no class subfolders (ImageFolder layout)")
+    xs, ys = [], []
+    for label, cname in enumerate(classes):
+        files = list_images(Path(root) / cname)
+        for _, img in iter_decoded(files):
+            if img is None:
+                continue
+            icon = _compute_icon(img, depth)
+            xs.append(cv2.resize(icon, (input_size, input_size), interpolation=3))
+            ys.append(label)
+    x = np.stack(xs).astype(np.float32) / 127.5 - 1.0
+    return x, np.asarray(ys, np.int32), classes
+
+
+def finetune_on_icons(data_root: str | Path, config: TrainConfig = TrainConfig(), mesh=None):
+    """Train ``config.architecture`` to classify depth-d icons of the images
+    under ``data_root`` (ImageFolder layout). Returns (params, history).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wicca_tpu.models import flax_models
+    from wicca_tpu.parallel.mesh import DATA_AXIS, data_mesh
+
+    mesh = mesh or data_mesh()
+    x, y, classes = _load_dataset(Path(data_root), config.input_size, config.depth)
+    n = len(x)
+    module = getattr(flax_models, config.architecture)(num_classes=len(classes))
+    rng = jax.random.PRNGKey(config.seed)
+    params = module.init(rng, jnp.zeros((1, config.input_size, config.input_size, 3), jnp.float32))
+    tx = optax.adam(config.learning_rate)
+    opt_state = tx.init(params)
+
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_fn(p):
+            logits = module.apply(p, xb)
+            return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    ndev = mesh.shape[DATA_AXIS]
+    bs = max(config.batch_size // ndev * ndev, ndev)
+    rng_np = np.random.default_rng(config.seed)
+    history = []
+    step_i = 0
+    for epoch in range(config.epochs):
+        order = rng_np.permutation(n)
+        t0 = time.time()
+        losses = []
+        for start in range(0, n - bs + 1, bs):
+            idx = order[start : start + bs]
+            xb = jax.device_put(jnp.asarray(x[idx]), dp)
+            yb = jax.device_put(jnp.asarray(y[idx]), dp)
+            params, opt_state, loss = step(params, opt_state, xb, yb)
+            losses.append(float(loss))
+            step_i += 1
+        history.append({"epoch": epoch, "loss": float(np.mean(losses)) if losses else None, "s": time.time() - t0})
+        logging.info(f"epoch {epoch}: loss {history[-1]['loss']}")
+        if config.checkpoint_dir:
+            save_checkpoint(config.checkpoint_dir, params, opt_state, step_i)
+    return params, {"classes": classes, "history": history}
+
+
+def save_checkpoint(ckpt_dir: str | Path, params, opt_state, step: int) -> None:
+    """Orbax checkpoint of the full train state (SURVEY.md §5 checkpoint/resume)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_dir).resolve() / f"step_{step}"
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": params, "opt_state": opt_state, "step": step}, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(ckpt_dir: str | Path, template) -> dict:
+    """Restore the latest checkpoint under ``ckpt_dir`` given a state template."""
+    import orbax.checkpoint as ocp
+
+    root = Path(ckpt_dir).resolve()
+    steps = sorted(root.glob("step_*"), key=lambda p: int(p.name.split("_")[1]))
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {root}")
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(steps[-1], template)
