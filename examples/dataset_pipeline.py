@@ -12,8 +12,11 @@ Run: python examples/dataset_pipeline.py [--images 12] [--size 2048]
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout use
 
 import numpy as np
 

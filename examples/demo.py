@@ -11,6 +11,8 @@ Run:  python examples/demo.py [output_dir]
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout use
+
 import numpy as np
 
 
