@@ -109,3 +109,20 @@ def test_validation_edges(tmp_path):
     with pytest.raises(FileExistsError):
         validate_output_folder(full, overwrite=False)
     assert validate_output_folder(full, overwrite=True) == full
+
+
+def test_compat_namespace():
+    """Reference import statements work against wicca_tpu.compat."""
+    from wicca_tpu.compat.wavelet_coder import HaarCoder, WaveletCoder
+    from wicca_tpu.compat.data_loader import load_image, load_models, get_padded_copy
+    from wicca_tpu.compat.classifying_tools import ClassifierProcessor
+    from wicca_tpu.compat.result_manager import get_short_comparison, compare_summaries
+    from wicca_tpu.compat.visualization import show_image_vs_icon
+    from wicca_tpu.compat.config.constants import SIM_CLASSES, RESULTS_FOLDER
+    from wicca_tpu.compat.config.aliases import Depth
+
+    assert issubclass(HaarCoder, WaveletCoder)
+    img = np.random.default_rng(0).integers(0, 256, (9, 13, 3), np.uint8)
+    padded = get_padded_copy(img, 8)
+    assert padded.shape == (16, 16, 3)
+    np.testing.assert_array_equal(padded[:9, :13], img)
