@@ -122,3 +122,28 @@ def test_encode_decode_wide_wavelets(wavelet, tmp_path):
     loaded = load(str(path))
     assert loaded.wavelet == wavelet
     np.testing.assert_array_equal(np.asarray(decode(loaded)), rec)
+
+
+def test_progressive_decode_at_level():
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = _img((3, 160, 200), seed=13)
+    stream = encode(x, levels=5, spec=QuantSpec(base_step=1.0))
+    # level == levels: the LL band itself, cropped to ceil dims
+    top = np.asarray(decode_at_level(stream, 5))
+    assert top.shape == (3, 5, 7)
+    # level 0 == full decode
+    np.testing.assert_array_equal(
+        np.asarray(decode_at_level(stream, 0)), np.asarray(decode(stream))
+    )
+    # intermediate level approximates the block mean of the original
+    mid = np.asarray(decode_at_level(stream, 2))
+    assert mid.shape == (3, 40, 50)
+    # compare against the true level-2 LL (bit-exact path)
+    true_ll2 = np.asarray(encode(x, levels=2).ll)[..., :40, :50]
+    assert np.abs(mid - true_ll2).max() < 6.0  # quantized details perturb mildly
+    # u8 emission
+    u8 = np.asarray(decode_at_level(stream, 2, emit_u8=True))
+    assert u8.dtype == np.uint8 and u8.shape == (3, 40, 50)
+    with pytest.raises(ValueError):
+        decode_at_level(stream, 9)

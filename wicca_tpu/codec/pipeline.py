@@ -178,3 +178,51 @@ def entropy_ratio(stream: CodeStream) -> float:
     h, w = stream.orig_shape
     lead = int(stream.ll.size // (stream.ll.shape[-2] * stream.ll.shape[-1]))
     return (lead * h * w) / max(estimated_entropy_bytes(stream), 1.0)
+
+
+@partial(jax.jit, static_argnames=("target_level", "emit_u8"))
+def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False) -> jax.Array:
+    """Progressive decode: reconstruct at 1/2**target_level resolution using
+    only the coarse subbands (resolution scalability — the stream is decoded
+    from the tail, finer detail planes are never touched).
+
+    ``target_level=0`` equals :func:`decode`; ``target_level=levels`` returns
+    the (dequantized) LL band itself. Output dims are the original dims
+    divided by 2**target_level (ceil).
+    """
+    if not 0 <= target_level <= stream.levels:
+        raise ValueError(f"target_level must be in [0, {stream.levels}]")
+    if target_level == 0:
+        return decode(stream, emit_u8=emit_u8)
+    from wicca_tpu.ops import dwt_pallas as _dp
+    from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
+
+    # partial passes renumber pass-local levels, which only matches the
+    # stored layout when no level is stored transposed
+    assert _dp._T_LVLS == 0, "decode_at_level requires untransposed detail storage"
+
+    x = stream.ll
+    sizes = []
+    lvl = 0
+    while lvl < stream.levels:
+        sizes.append(min(3, stream.levels - lvl))
+        lvl += sizes[-1]
+    hi = stream.levels
+    for k in reversed(sizes):
+        lo = hi - k
+        if hi <= target_level:
+            break
+        # partial pass: only the levels above target_level
+        use = [stream.details[i] for i in range(max(lo, target_level), hi)]
+        steps = tuple(stream.spec.detail_step(i + 1) for i in range(max(lo, target_level), hi))
+        ch, cw = detail_spatial_shape(use[-1][0], len(use))
+        x = x[..., :ch, :cw]
+        x = idwt_multilevel_dequant_pallas(x, use, steps)
+        hi = max(lo, target_level)
+    h, w = stream.orig_shape
+    out_h = -(-h // (1 << target_level))
+    out_w = -(-w // (1 << target_level))
+    x = unpad(x, out_h, out_w)
+    if emit_u8:
+        x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+    return x
