@@ -3,6 +3,7 @@ from wicca_tpu.codec.pipeline import (
     CodeStream,
     compression_ratio,
     decode,
+    decode_at_level,
     encode,
     entropy_ratio,
     estimated_entropy_bytes,
