@@ -13,7 +13,11 @@ from wicca_tpu.models.registry import (
 
 # one representative per family keeps the CPU suite fast; VGG19/ResNet50/
 # EfficientNetB0 share building blocks with the tested three
-ARCHS = ["MobileNetV2", "VGG16", "DenseNet121"]
+ARCHS = [
+    "MobileNetV2",
+    pytest.param("VGG16", marks=pytest.mark.slow),
+    pytest.param("DenseNet121", marks=pytest.mark.slow),
+]
 
 
 def test_all_architectures_registered():

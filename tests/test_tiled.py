@@ -62,7 +62,14 @@ def test_tiled_haar_matches_core_bit_exact(meshes, wavelet):
     np.testing.assert_array_equal(rec, img.astype(rec.dtype))
 
 
-@pytest.mark.parametrize("wavelet,mesh_key", [("db2", "2x4"), ("bior4.4", "1x8"), ("bior4.4", "4x2")])
+@pytest.mark.parametrize(
+    "wavelet,mesh_key",
+    [
+        ("db2", "2x4"),
+        pytest.param("bior4.4", "1x8", marks=pytest.mark.slow),
+        pytest.param("bior4.4", "4x2", marks=pytest.mark.slow),
+    ],
+)
 def test_tiled_wide_wavelets_halo_exchange(meshes, wavelet, mesh_key):
     # aligned dims: tiled must match single-device to float tolerance, which
     # exercises the per-step ppermute halos across interior boundaries
@@ -78,6 +85,7 @@ def test_tiled_wide_wavelets_halo_exchange(meshes, wavelet, mesh_key):
     np.testing.assert_allclose(rec, img, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_tiled_roundtrip_odd_shape_wide(meshes):
     # unaligned dims + wide wavelet: coefficients may shift at the very edge
     # but the tiled roundtrip itself must still reconstruct the input
