@@ -147,3 +147,18 @@ def test_progressive_decode_at_level():
     assert u8.dtype == np.uint8 and u8.shape == (3, 40, 50)
     with pytest.raises(ValueError):
         decode_at_level(stream, 9)
+
+
+def test_rd_curve_monotone():
+    from wicca_tpu.codec.rd import rd_curve
+
+    yy, xx = np.mgrid[0:96, 0:96].astype(np.float32)
+    img = np.clip(128 + 60 * np.sin(xx / 9) + 40 * np.cos(yy / 11), 0, 255).astype(np.uint8)[None]
+    pts = rd_curve(img, steps=(0.5, 2.0, 8.0), levels=3, actual_bytes=True)
+    psnrs = [p["psnr_db"] for p in pts]
+    bpps = [p["bpp_actual"] for p in pts]
+    assert psnrs[0] > psnrs[1] > psnrs[2]  # finer step -> higher PSNR
+    assert bpps[0] > bpps[1] > bpps[2]     # finer step -> more bits
+    # Rice coder lands within ~25% of the Shannon bound on these codes
+    for p in pts:
+        assert p["bpp_actual"] < p["bpp_entropy"] * 1.6 + 0.3

@@ -27,8 +27,8 @@ def test_roundtrip_sparse_and_size():
     data = rice_encode(codes)
     np.testing.assert_array_equal(rice_decode(data, codes.size, np.int8), codes)
     if native_available():
-        # ~90% zeros => well under 1 byte/код with Rice k=0
-        assert len(data) < codes.size // 2
+        # ~90% zeros: zero-run mode -> well under 2 bits/value
+        assert len(data) < codes.size // 4
 
 
 def test_roundtrip_extremes():
@@ -48,4 +48,4 @@ def test_all_zero_plane_tiny():
     data = rice_encode(codes)
     np.testing.assert_array_equal(rice_decode(data, 4096, np.int8), codes)
     if native_available():
-        assert len(data) < 600  # ~1 bit/value + per-block headers
+        assert len(data) < 64  # zero-run mode: ~25 bits per 512-block

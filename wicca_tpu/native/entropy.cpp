@@ -7,12 +7,16 @@
 // produces deadzone int8/int16 codes (wicca_tpu/ops/dwt_pallas.py), this
 // library turns them into a compact bitstream and back, bit-exactly.
 //
-// Scheme: zigzag map to unsigned, then Rice coding with a per-block
-// (B=512) parameter k chosen from the block's mean magnitude; unary
-// quotients are capped at ESCAPE and followed by a raw value. Deadzone
-// codes of natural images are mostly zero, so k=0 blocks approach 1
-// bit/value; order-0 optimality is within a few percent of the Shannon
-// bound measured by codec/pipeline.estimated_entropy_bytes.
+// Scheme: zigzag map to unsigned, then per-block (B=512) coding in one of
+// two modes (1 header bit + 5-bit Rice parameter):
+//   mode 0 — plain Rice: unary quotient (capped at ESCAPE -> raw value)
+//            plus k low bits, k chosen from the block's mean magnitude.
+//   mode 1 — zero-run: Elias-gamma zero-run lengths alternating with
+//            Rice-coded (value-1) for the nonzeros; chosen when >=3/4 of
+//            the block is zero. Deadzone detail planes are overwhelmingly
+//            zero, and runs push the rate well below 1 bit/value, close to
+//            the order-0 Shannon bound measured by
+//            codec/pipeline.estimated_entropy_bytes.
 //
 // C ABI (ctypes): all functions return the number of bytes written/read,
 // or 0 on error (insufficient capacity / malformed stream).
@@ -102,27 +106,87 @@ inline int pick_k(const uint32_t* u, int n) {
     return k;
 }
 
+inline void put_gamma(BitWriter& bw, uint32_t v) {
+    // Elias gamma for v >= 1: (len-1) ones, a zero, then the low len-1 bits
+    int len = 1;
+    while ((v >> len) != 0) len++;
+    if (len > 1) bw.put((1u << (len - 1)) - 1u, len - 1);
+    bw.put(0, 1);
+    if (len > 1) bw.put(v & ((1u << (len - 1)) - 1u), len - 1);
+}
+
+inline uint32_t get_gamma(BitReader& br) {
+    int ext = 0;
+    while (br.get(1)) {
+        ext++;
+        if (br.error || ext > 31) { br.error = true; return 0; }
+    }
+    uint32_t low = ext ? br.get(ext) : 0;
+    return (1u << ext) | low;
+}
+
+template <int RAWBITS>
+void put_rice(BitWriter& bw, uint32_t u, int k) {
+    uint32_t q = u >> k;
+    if (q >= ESCAPE_Q) {
+        bw.put((1u << ESCAPE_Q) - 1u, ESCAPE_Q);  // cap_q ones
+        bw.put(u, RAWBITS + 1);                   // raw zigzag value
+    } else {
+        if (q) bw.put((1u << q) - 1u, q);
+        bw.put(0, 1);
+        if (k) bw.put(u & ((1u << k) - 1u), k);
+    }
+}
+
+template <int RAWBITS>
+uint32_t get_rice(BitReader& br, int k) {
+    uint32_t q = br.get_unary(ESCAPE_Q);
+    if (q >= ESCAPE_Q) return br.get(RAWBITS + 1);
+    uint32_t low = k ? br.get(k) : 0;
+    return (q << k) | low;
+}
+
 template <typename T, int RAWBITS>
 size_t encode_impl(const T* codes, size_t n, uint8_t* out, size_t cap) {
     BitWriter bw{out, cap};
     uint32_t u[BLOCK];
     for (size_t start = 0; start < n; start += BLOCK) {
         int blk = static_cast<int>(std::min<size_t>(BLOCK, n - start));
-        for (int i = 0; i < blk; i++) u[i] = zigzag32(static_cast<int32_t>(codes[start + i]));
-        int k = pick_k(u, blk);
-        bw.put(static_cast<uint32_t>(k), 5);
+        int zeros = 0;
         for (int i = 0; i < blk; i++) {
-            uint32_t q = u[i] >> k;
-            if (q >= ESCAPE_Q) {
-                bw.put((1u << ESCAPE_Q) - 1u, ESCAPE_Q);  // cap_q ones
-                bw.put(u[i], RAWBITS + 1);                // raw zigzag value
-            } else {
-                // q ones then a zero
-                if (q) bw.put((1u << q) - 1u, q);
-                bw.put(0, 1);
-                if (k) bw.put(u[i] & ((1u << k) - 1u), k);
+            u[i] = zigzag32(static_cast<int32_t>(codes[start + i]));
+            if (u[i] == 0) zeros++;
+        }
+        bool zero_run = zeros * 4 >= blk * 3;
+        if (zero_run) {
+            // k from the nonzero values' (value-1) mean
+            uint32_t nz[BLOCK];
+            int m = 0;
+            for (int i = 0; i < blk; i++)
+                if (u[i]) nz[m++] = u[i] - 1;
+            int k = m ? pick_k(nz, m) : 0;
+            bw.put(1, 1);
+            bw.put(static_cast<uint32_t>(k), 5);
+            int i = 0;
+            while (i < blk) {
+                int run = 0;
+                while (i + run < blk && u[i + run] == 0) run++;
+                put_gamma(bw, static_cast<uint32_t>(run + 1));
+                i += run;
+                if (i < blk) {
+                    put_rice<RAWBITS>(bw, u[i] - 1, k);
+                    i++;
+                }
+                if (bw.overflow) return 0;
             }
-            if (bw.overflow) return 0;
+        } else {
+            int k = pick_k(u, blk);
+            bw.put(0, 1);
+            bw.put(static_cast<uint32_t>(k), 5);
+            for (int i = 0; i < blk; i++) {
+                put_rice<RAWBITS>(bw, u[i], k);
+                if (bw.overflow) return 0;
+            }
         }
     }
     return bw.finish();
@@ -133,19 +197,29 @@ size_t decode_impl(const uint8_t* in, size_t len, T* codes, size_t n) {
     BitReader br{in, len};
     for (size_t start = 0; start < n; start += BLOCK) {
         int blk = static_cast<int>(std::min<size_t>(BLOCK, n - start));
+        bool zero_run = br.get(1) != 0;
         int k = static_cast<int>(br.get(5));
         if (br.error || k > 30) return 0;
-        for (int i = 0; i < blk; i++) {
-            uint32_t q = br.get_unary(ESCAPE_Q);
-            uint32_t u;
-            if (q >= ESCAPE_Q) {
-                u = br.get(RAWBITS + 1);
-            } else {
-                uint32_t low = k ? br.get(k) : 0;
-                u = (q << k) | low;
+        if (zero_run) {
+            int i = 0;
+            while (i < blk) {
+                uint32_t run = get_gamma(br) - 1;
+                if (br.error || run > static_cast<uint32_t>(blk - i)) return 0;
+                for (uint32_t r = 0; r < run; r++) codes[start + i + r] = 0;
+                i += static_cast<int>(run);
+                if (i < blk) {
+                    uint32_t u = get_rice<RAWBITS>(br, k) + 1;
+                    if (br.error) return 0;
+                    codes[start + i] = static_cast<T>(unzigzag32(u));
+                    i++;
+                }
             }
-            if (br.error) return 0;
-            codes[start + i] = static_cast<T>(unzigzag32(u));
+        } else {
+            for (int i = 0; i < blk; i++) {
+                uint32_t u = get_rice<RAWBITS>(br, k);
+                if (br.error) return 0;
+                codes[start + i] = static_cast<T>(unzigzag32(u));
+            }
         }
     }
     return br.byte;
