@@ -141,3 +141,28 @@ def test_registry_accepts_external_callable_model():
     assert logits.shape == (2, 1000)
     decoded = clf[DEC_PRED](logits, top=3)
     assert len(decoded) == 2 and len(decoded[0]) == 3
+
+
+def test_timeout_partial_results(data_folder, classifiers, tmp_path):
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=1,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "res_t",
+        log_info=False,
+    )
+    # timeout=0 is falsy -> no deadline (reference semantics: None-ish)
+    out = proc.process_classifiers(classifiers, timeout=0)
+    assert "tiny" in out
+    # an expired deadline degrades gracefully to (possibly empty) partials
+    proc2 = ClassifierProcessor(
+        data_folder,
+        transform_depth=1,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "res_t2",
+        log_info=False,
+    )
+    out2 = proc2.process_classifiers(classifiers, timeout=1e-9)
+    assert isinstance(out2, dict)
