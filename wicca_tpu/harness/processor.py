@@ -65,6 +65,40 @@ def _compute_icon(image_hwc: np.ndarray, depth: int) -> np.ndarray:
     return from_planar(icon)
 
 
+def _compute_icons_batched(images_hwc: list[np.ndarray], depth: int) -> list[np.ndarray]:
+    """Icons for a batch, grouping same-bucket images into single device
+    calls (datasets of uniform resolution — the common production case —
+    collapse to one kernel dispatch per batch instead of one per image)."""
+    import jax
+
+    from wicca_tpu.core.haar import haar_icon
+    from wicca_tpu.core.pad import pad_to_multiple
+    from wicca_tpu.ops.dwt_pallas import icon_pallas
+
+    unit = 1 << depth
+    bucket = max(_BUCKET, unit)
+    fn = icon_pallas if jax.default_backend() == "tpu" else haar_icon
+    icons: list[np.ndarray | None] = [None] * len(images_hwc)
+    groups: dict[tuple[int, int, int], list[int]] = {}
+    padded: list[np.ndarray] = []
+    for idx, img in enumerate(images_hwc):
+        p = np.asarray(pad_to_multiple(to_planar(img), bucket, mode="replicate"))
+        padded.append(p)
+        groups.setdefault(p.shape, []).append(idx)
+    _MAX_STACK_BYTES = 512 * 1024 * 1024  # cap the device-resident stack
+    for shape, idxs in groups.items():
+        per = int(np.prod(shape))
+        chunk = max(1, _MAX_STACK_BYTES // per)
+        for start in range(0, len(idxs), chunk):
+            part = idxs[start : start + chunk]
+            stack = np.stack([padded[i] for i in part])
+            out = np.asarray(fn(stack, depth))
+            for j, idx in enumerate(part):
+                h, w = images_hwc[idx].shape[:2]
+                icons[idx] = from_planar(out[j][..., : -(-h // unit), : -(-w // unit)])
+    return icons  # type: ignore[return-value]
+
+
 def _resize(image_hwc: np.ndarray, shape: tuple[int, int], interpolation) -> np.ndarray:
     import cv2
 
@@ -154,28 +188,35 @@ class ClassifierProcessor:
         preds: dict[str, dict[str, dict]] = {name: {} for name in classifiers}
 
         batch_files: list[str] = []
-        batch_src: dict[str, list[np.ndarray]] = {n: [] for n in classifiers}
-        batch_icn: dict[str, list[np.ndarray]] = {n: [] for n in classifiers}
-
-        def flush() -> None:
-            if not batch_files:
-                return
-            for name, clf in classifiers.items():
-                model, pre, dec = clf[MODEL], clf[PRE_INP], clf[DEC_PRED]
-                for kind, batches in ((SOURCE, batch_src), (ICON, batch_icn)):
-                    stack = pre(np.stack(batches[name]))
-                    logits = model(np.asarray(stack, dtype=np.float32))
-                    decoded = dec(logits, top=self.top)
-                    for fname, row in zip(batch_files, decoded):
-                        preds[name].setdefault(fname, {})[kind] = [row]
-            batch_files.clear()
-            for n in classifiers:
-                batch_src[n].clear()
-                batch_icn[n].clear()
+        batch_images: list[np.ndarray] = []
 
         from wicca_tpu.utils.timing import StageTimer
 
         timer = StageTimer()
+
+        def flush() -> None:
+            if not batch_files:
+                return
+            with timer.stage("icon_dwt"):
+                if self.coder is not None and hasattr(self.coder, "get_small_copy"):
+                    icons = [self.coder.get_small_copy(img, depth) for img in batch_images]
+                else:
+                    # same-bucket images share one device dispatch
+                    icons = _compute_icons_batched(batch_images, depth)
+            for name, clf in classifiers.items():
+                model, pre, dec = clf[MODEL], clf[PRE_INP], clf[DEC_PRED]
+                shape = shapes[name]
+                for kind, sources in ((SOURCE, batch_images), (ICON, icons)):
+                    with timer.stage("resize"):
+                        stack = np.stack([_resize(im, shape, self.interpolation) for im in sources])
+                    with timer.stage("inference"):
+                        logits = model(np.asarray(pre(stack), dtype=np.float32))
+                    decoded_rows = dec(logits, top=self.top)
+                    for fname, row in zip(batch_files, decoded_rows):
+                        preds[name].setdefault(fname, {})[kind] = [row]
+            batch_files.clear()
+            batch_images.clear()
+
         n_threads = self.parallel or 8
         n_pixels = 0
         t_start = time.time()
@@ -193,19 +234,11 @@ class ClassifierProcessor:
                 logging.warning(f"Skipping unreadable file {path.name}")
                 continue
             n_pixels += image.shape[0] * image.shape[1]
-            with timer.stage("icon_dwt"):
-                icon = self._icon(image, depth)
-            with timer.stage("resize"):
-                for name in classifiers:
-                    shape = shapes[name]
-                    batch_src[name].append(_resize(image, shape, self.interpolation))
-                    batch_icn[name].append(_resize(icon, shape, self.interpolation))
             batch_files.append(path.name)
+            batch_images.append(image)
             if len(batch_files) >= self.batch_size:
-                with timer.stage("inference"):
-                    flush()
-        with timer.stage("inference"):
-            flush()
+                flush()
+        flush()
 
         out: dict[str, tuple[str, Any]] = {}
         for name in classifiers:
