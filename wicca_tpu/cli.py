@@ -51,7 +51,9 @@ def _cmd_encode(args) -> int:
     if image is None:
         print(f"error: cannot read image {args.input}", file=sys.stderr)
         return 2
-    stream = encode(to_planar(image), levels=args.levels, spec=QuantSpec(base_step=args.step))
+    stream = encode(
+        to_planar(image), levels=args.levels, spec=QuantSpec(base_step=args.step), wavelet=args.wavelet
+    )
     nbytes = save(stream, args.output, threads=args.threads)
     raw = int(np.prod(image.shape))
     print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}")
@@ -91,7 +93,12 @@ def _cmd_icon(args) -> int:
     if image is None:
         print(f"error: cannot read image {args.input}", file=sys.stderr)
         return 2
-    icon = _compute_icon(image, args.depth)
+    if args.wavelet == "haar":
+        icon = _compute_icon(image, args.depth)
+    else:
+        from wicca_tpu.coder import LiftingCoder
+
+        icon = LiftingCoder(args.wavelet).get_small_copy(image, args.depth)
     cv2.imwrite(args.output, cv2.cvtColor(icon, cv2.COLOR_RGB2BGR) if icon.ndim == 3 else icon)
     print(f"{args.input} {image.shape[:2]} -> {args.output} {icon.shape[:2]} (depth {args.depth})")
     return 0
@@ -136,6 +143,7 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("output")
     e.add_argument("--levels", type=int, default=5)
     e.add_argument("--step", type=float, default=1.0, help="deadzone quantization step")
+    e.add_argument("--wavelet", default="haar", choices=["haar", "db2", "bior4.4"])
     e.add_argument("--threads", type=int, default=8)
     e.set_defaults(fn=_cmd_encode)
 
@@ -150,6 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("input")
     i.add_argument("output")
     i.add_argument("--depth", type=int, default=5)
+    i.add_argument("--wavelet", default="haar", choices=["haar", "db2", "bior4.4", "haar_int"])
     i.set_defaults(fn=_cmd_icon)
 
     c = sub.add_parser("compare", help="tabulate summaries across classifiers and depths")

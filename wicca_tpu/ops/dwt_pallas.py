@@ -272,7 +272,8 @@ def _idwt_dequant_kernel(ll_ref, lh_ref, hl_ref, hh_ref, out_ref, *, step: float
 
         def deq(ref):
             qv = ref[0].astype(jnp.float32)
-            return jnp.sign(qv) * (jnp.abs(qv) + 0.5) * jnp.float32(step)
+            # sign(q)*(|q|+0.5)*step == (q + 0.5*sign(q))*step, one op fewer
+            return (qv + 0.5 * jnp.sign(qv)) * jnp.float32(step)
 
         lh, hl, hh = deq(lh_ref), deq(hl_ref), deq(hh_ref)
     else:
@@ -465,7 +466,7 @@ def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool):
             qv = r[0].astype(jnp.float32)
             if want_t != transposed:
                 qv = qv.T
-            return jnp.sign(qv) * (jnp.abs(qv) + 0.5) * step
+            return (qv + 0.5 * jnp.sign(qv)) * step
 
         # work in transposed space: lane interleaves become row interleaves
         lh_t, hl_t, hh_t = deq(refs[base], True), deq(refs[base + 1], True), deq(refs[base + 2], True)
