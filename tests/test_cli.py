@@ -45,3 +45,20 @@ def test_bad_inputs(workdir, capsys):
     assert main(["encode", str(workdir / "nope.png"), str(workdir / "x.wct")]) == 2
     assert main(["analyze", str(workdir / "imgs"), "--models", "NopeNet",
                  "--results-folder", str(workdir / "res2"), "--quiet"]) == 2
+
+
+def test_encode_decode_wide_wavelet_cli(workdir, capsys):
+    assert main(["encode", str(workdir / "imgs" / "im1.png"), str(workdir / "im1b.wct"),
+                 "--levels", "3", "--wavelet", "bior4.4", "--step", "1.0"]) == 0
+    assert main(["decode", str(workdir / "im1b.wct"), str(workdir / "rec1b.png"),
+                 "--original", str(workdir / "imgs" / "im1.png")]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR" in out
+    db = float(out.rsplit("PSNR", 1)[1].split("dB")[0])
+    assert db > 30.0
+
+
+def test_icon_lifting_wavelet_cli(workdir):
+    assert main(["icon", str(workdir / "imgs" / "im2.png"), str(workdir / "icon_b.png"),
+                 "--depth", "2", "--wavelet", "bior4.4"]) == 0
+    assert (workdir / "icon_b.png").is_file()
