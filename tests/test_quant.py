@@ -59,3 +59,15 @@ def test_psnr_monotonic_in_step():
 def test_psnr_identical_is_inf():
     a = np.ones((8, 8), np.float32)
     assert np.isinf(float(psnr(a, a)))
+
+
+def test_ssim_properties():
+    from wicca_tpu.core.metrics import ssim
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (64, 64)).astype(np.float32)
+    assert float(ssim(a, a)) == pytest.approx(1.0, abs=1e-5)
+    noisy = a + rng.normal(0, 10, a.shape).astype(np.float32)
+    very_noisy = a + rng.normal(0, 60, a.shape).astype(np.float32)
+    s1, s2 = float(ssim(a, noisy)), float(ssim(a, very_noisy))
+    assert 0.0 < s2 < s1 < 1.0

@@ -20,3 +20,35 @@ def psnr(a: jnp.ndarray, b: jnp.ndarray, peak: float = 255.0) -> jnp.ndarray:
     """Peak signal-to-noise ratio in dB; inf for identical inputs."""
     m = mse(a, b)
     return jnp.where(m == 0, jnp.inf, 10.0 * jnp.log10(peak * peak / jnp.maximum(m, 1e-30)))
+
+
+def ssim(a: jnp.ndarray, b: jnp.ndarray, peak: float = 255.0, window: int = 8) -> jnp.ndarray:
+    """Mean structural similarity over non-overlapping windows of the
+    trailing two axes (uniform window; standard K1/K2 constants).
+
+    Block-based SSIM (rather than gaussian-sliding) keeps the computation a
+    pair of reshapes + reductions — XLA-fusable on TPU — while tracking the
+    canonical metric closely at window=8.
+    """
+    import jax.numpy as _jnp
+
+    a = a.astype(_jnp.float32)
+    b = b.astype(_jnp.float32)
+    h, w = a.shape[-2], a.shape[-1]
+    hh, ww = h - h % window, w - w % window
+    a = a[..., :hh, :ww]
+    b = b[..., :hh, :ww]
+    sa = a.reshape(*a.shape[:-2], hh // window, window, ww // window, window)
+    sb = b.reshape(*b.shape[:-2], hh // window, window, ww // window, window)
+    axes = (-3, -1)
+    mu_a = sa.mean(axis=axes)
+    mu_b = sb.mean(axis=axes)
+    var_a = sa.var(axis=axes)
+    var_b = sb.var(axis=axes)
+    cov = (sa * sb).mean(axis=axes) - mu_a * mu_b
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+        (mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2)
+    )
+    return _jnp.mean(s)
