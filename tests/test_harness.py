@@ -166,3 +166,28 @@ def test_timeout_partial_results(data_folder, classifiers, tmp_path):
     )
     out2 = proc2.process_classifiers(classifiers, timeout=1e-9)
     assert isinstance(out2, dict)
+
+
+def test_reconstruction_compare_mode(data_folder, classifiers, tmp_path):
+    from wicca_tpu.core.quant import QuantSpec
+
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=2,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "res_rec",
+        log_info=False,
+        compare="reconstruction",
+        codec_spec=QuantSpec(base_step=1.0),
+    )
+    out = proc.process_classifiers(classifiers)
+    assert "tiny" in out
+    # near-lossless reconstruction at the model input size: predictions agree
+    _, sum_df = out["tiny"]
+    assert sum_df.loc["mean", SIM_BEST_CLASS] >= 50.0
+    with pytest.raises(ValueError):
+        ClassifierProcessor(
+            data_folder, transform_depth=1, interpolation=3, top_classes=3,
+            results_folder=tmp_path / "res_bad", log_info=False, compare="nope",
+        )

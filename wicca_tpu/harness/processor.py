@@ -122,6 +122,8 @@ class ClassifierProcessor:
         batch_size: int = 25,
         overwrite: bool = True,
         resume: bool = False,
+        compare: str = "icon",
+        codec_spec=None,
     ):
         self.path = validate_input_folder(data_folder)
         self.coder = wavelet_coder  # optional custom coder: get_small_copy(img, depth)
@@ -138,6 +140,15 @@ class ClassifierProcessor:
         # resume: skip (classifier, depth) pairs whose summary CSV already
         # exists (idempotent re-runs, SURVEY.md §5 'Failure detection')
         self.resume = resume
+        # compare="icon": reference semantics (source vs LL icon).
+        # compare="reconstruction": source vs the full quantized codec
+        # roundtrip at the given depth — measures what quantization (not
+        # resolution loss) costs the classifier. codec_spec defaults to
+        # QuantSpec() when needed.
+        if compare not in ("icon", "reconstruction"):
+            raise ValueError("compare must be 'icon' or 'reconstruction'")
+        self.compare = compare
+        self.codec_spec = codec_spec
         if log_info:
             self._log_init_info()
 
@@ -172,6 +183,16 @@ class ClassifierProcessor:
 
     # -- core -------------------------------------------------------------
 
+    def _reconstruction(self, image_hwc: np.ndarray, depth: int) -> np.ndarray:
+        """Full-resolution quantized codec roundtrip (compare='reconstruction')."""
+        from wicca_tpu.codec.pipeline import decode, encode
+        from wicca_tpu.core.quant import QuantSpec
+
+        spec = self.codec_spec or QuantSpec()
+        planar = to_planar(image_hwc)
+        rec = np.asarray(decode(encode(planar, levels=depth, spec=spec), emit_u8=True))
+        return from_planar(rec)
+
     def _icon(self, image_hwc: np.ndarray, depth: int) -> np.ndarray:
         if self.coder is not None and hasattr(self.coder, "get_small_copy"):
             return self.coder.get_small_copy(image_hwc, depth)
@@ -198,7 +219,9 @@ class ClassifierProcessor:
             if not batch_files:
                 return
             with timer.stage("icon_dwt"):
-                if self.coder is not None and hasattr(self.coder, "get_small_copy"):
+                if self.compare == "reconstruction":
+                    icons = [self._reconstruction(img, depth) for img in batch_images]
+                elif self.coder is not None and hasattr(self.coder, "get_small_copy"):
                     icons = [self.coder.get_small_copy(img, depth) for img in batch_images]
                 else:
                     # same-bucket images share one device dispatch
