@@ -62,3 +62,12 @@ def test_icon_lifting_wavelet_cli(workdir):
     assert main(["icon", str(workdir / "imgs" / "im2.png"), str(workdir / "icon_b.png"),
                  "--depth", "2", "--wavelet", "bior4.4"]) == 0
     assert (workdir / "icon_b.png").is_file()
+
+
+def test_analyze_reconstruction_mode(workdir):
+    res = str(workdir / "res_rec")
+    rc = main(["analyze", str(workdir / "imgs"), "--models", "SimpleCNN", "--depths", "1",
+               "--input-size", "64", "--results-folder", res, "--quiet",
+               "--compare", "reconstruction", "--step", "2.0"])
+    assert rc == 0
+    assert (workdir / "res_rec" / "depth-1" / "SimpleCNN-depth-1.csv").is_file()

@@ -16,6 +16,7 @@ import sys
 
 
 def _cmd_analyze(args) -> int:
+    from wicca_tpu.core.quant import QuantSpec
     from wicca_tpu.harness.processor import ClassifierProcessor
     from wicca_tpu.models.registry import load_models
 
@@ -35,6 +36,8 @@ def _cmd_analyze(args) -> int:
         parallel=args.threads,
         batch_size=args.batch_size,
         resume=args.resume,
+        compare=args.compare,
+        codec_spec=None if args.compare == "icon" else QuantSpec(base_step=args.step),
     )
     proc.process_classifiers(classifiers, timeout=args.timeout)
     return 0
@@ -135,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--threads", type=int, default=8)
     a.add_argument("--timeout", type=int, default=None)
     a.add_argument("--resume", action="store_true", help="skip (model, depth) pairs with existing summaries")
+    a.add_argument("--compare", default="icon", choices=["icon", "reconstruction"],
+                   help="compare source vs LL icon (reference semantics) or vs the quantized codec roundtrip")
+    a.add_argument("--step", type=float, default=1.0, help="codec quantization step for --compare reconstruction")
     a.add_argument("--quiet", action="store_true")
     a.set_defaults(fn=_cmd_analyze)
 
