@@ -162,3 +162,73 @@ def test_rd_curve_monotone():
     # Rice coder lands within ~25% of the Shannon bound on these codes
     for p in pts:
         assert p["bpp_actual"] < p["bpp_entropy"] * 1.6 + 0.3
+
+
+# ---------------------------------------------------------------------------
+# Lossless streams (integer wavelets: legall5.3 / haar_int)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("wavelet", ["legall5.3", "haar_int"])
+@pytest.mark.parametrize("shape", [(3, 96, 96), (1, 37, 53)])
+def test_lossless_encode_decode_bit_exact(wavelet, shape):
+    x = _img(shape, seed=7)
+    stream = encode(x, levels=3, wavelet=wavelet)
+    rec = np.asarray(decode(stream, emit_u8=True))
+    assert rec.dtype == np.uint8
+    np.testing.assert_array_equal(rec, x)
+    # detail codes are int16, LL stays integer
+    for bands in stream.details:
+        for b in bands:
+            assert b.dtype == np.int16
+
+
+@pytest.mark.parametrize("wavelet", ["legall5.3", "haar_int"])
+def test_lossless_container_roundtrip(wavelet, tmp_path):
+    from wicca_tpu.codec.container import load, save
+
+    yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+    img = np.clip(120 + 70 * np.sin(xx / 13) + 40 * np.cos(yy / 17), 0, 255).astype(np.uint8)
+    x = np.stack([img, img[::-1], img // 2])
+    stream = encode(x, levels=3, wavelet=wavelet)
+    path = tmp_path / "ll.wct"
+    nbytes = save(stream, str(path))
+    assert nbytes < x.size  # lossless still beats raw on smooth content
+    loaded = load(str(path))
+    assert loaded.wavelet == ("legall5.3" if wavelet == "legall5.3" else "haar_int")
+    rec = np.asarray(decode(loaded, emit_u8=True))
+    np.testing.assert_array_equal(rec, x)
+
+
+def test_lossless_progressive_decode():
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = _img((3, 64, 64), seed=3)
+    stream = encode(x, levels=3, wavelet="legall5.3")
+    full = np.asarray(decode_at_level(stream, 0, emit_u8=True))
+    np.testing.assert_array_equal(full, x)
+    for t in (1, 2, 3):
+        small = np.asarray(decode_at_level(stream, t))
+        assert small.shape[-2:] == (64 >> t, 64 >> t)
+    # target_level == levels returns the LL band itself
+    np.testing.assert_array_equal(
+        np.asarray(decode_at_level(stream, 3)), np.asarray(stream.ll)
+    )
+
+
+@pytest.mark.parametrize("wavelet", ["db2", "bior4.4"])
+def test_progressive_decode_float_lifting(wavelet):
+    """decode_at_level for float lifting wavelets: coarse reconstruction at
+    level t equals the t-level decode of a freshly-truncated pyramid."""
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = _img((1, 64, 64), seed=5)
+    stream = encode(x, levels=3, spec=QuantSpec(base_step=1.0), wavelet=wavelet)
+    full = np.asarray(decode_at_level(stream, 0))
+    np.testing.assert_allclose(full, np.asarray(decode(stream)), atol=1e-5)
+    for t in (1, 2):
+        small = np.asarray(decode_at_level(stream, t))
+        assert small.shape[-2:] == (64 >> t, 64 >> t)
+    np.testing.assert_allclose(
+        np.asarray(decode_at_level(stream, 3)), np.asarray(stream.ll), atol=1e-6
+    )

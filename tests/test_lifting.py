@@ -107,3 +107,57 @@ def test_pyramid_is_pytree():
     assert len(leaves) == 1 + 3 * 2
     doubled = jax.tree_util.tree_map(lambda a: a * 2, pyr)
     assert isinstance(doubled, Pyramid) and doubled.wavelet == "db2"
+
+
+# ---------------------------------------------------------------------------
+# LeGall 5/3 (JPEG2000 reversible filter)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("depth", [1, 2, 3, 5])
+@pytest.mark.parametrize("shape", [(64, 64, 3), (37, 53, 3), (160, 96)])
+def test_legall53_roundtrip_bit_exact(depth, shape):
+    img = _rand_img(shape, seed=depth + 10)
+    x = np.moveaxis(img, -1, 0) if img.ndim == 3 else img
+    pyr = dwt2_lifting(x, depth, "legall5.3")
+    rec = np.asarray(idwt2_lifting(pyr))
+    assert rec.dtype == np.int32
+    np.testing.assert_array_equal(rec, x.astype(np.int32))
+
+
+def test_legall53_negative_and_extreme_values():
+    from wicca_tpu.core.lifting import legall53_fwd1d, legall53_inv1d
+
+    x = np.array([[-300, 3, -2, 255, 0, -255, 255, 1, 7, 7, 7, 7]], dtype=np.int32)
+    s, d = legall53_fwd1d(x)
+    np.testing.assert_array_equal(np.asarray(legall53_inv1d(s, d)), x)
+
+
+def test_legall53_dc_gain_one():
+    # constant image -> s band equals the constant at every level (DC gain 1)
+    x = np.full((1, 32, 32), 113, dtype=np.int32)
+    pyr = dwt2_lifting(x, 3, "legall5.3")
+    np.testing.assert_array_equal(np.asarray(pyr.ll), np.full((1, 4, 4), 113))
+
+
+def test_legall53_detail_bounds_fit_int16():
+    # codec stores 5/3 / haar_int details as int16; verify the bound
+    # empirically on adversarial inputs (checkerboard = worst-case highpass)
+    cb = 255 * ((np.indices((128, 128)).sum(axis=0)) % 2).astype(np.int32)
+    rng_img = _rand_img((128, 128), seed=99).astype(np.int32)
+    for wavelet in ("legall5.3", "haar_int"):
+        for img in (cb, rng_img):
+            pyr = dwt2_lifting(img, 6, wavelet)
+            for bands in pyr.details:
+                for b in bands:
+                    assert np.abs(np.asarray(b)).max() < 2**15
+
+
+def test_integer_wavelet_registry():
+    from wicca_tpu.core.lifting import is_integer_wavelet
+
+    assert is_integer_wavelet("haar_int")
+    assert is_integer_wavelet("legall5.3")
+    assert is_integer_wavelet("cdf53")
+    assert not is_integer_wavelet("db2")
+    assert not is_integer_wavelet("haar")

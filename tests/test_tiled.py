@@ -110,3 +110,20 @@ def test_tiled_stats_psum(meshes):
     assert abs(stats["mean"] - img.mean()) < 1e-3
     assert abs(stats["std"] - img.std()) < 1e-2
     assert stats["min"] == img.min() and stats["max"] == img.max()
+
+
+def test_tiled_legall53_halo_bit_exact(meshes):
+    # integer wavelet WITH halos: per-step ppermute exchange in int32 must
+    # reproduce the single-device transform exactly (no float tolerance)
+    mesh = meshes["2x4"]
+    img = _rand_img((1, 128, 256), seed=12)
+    levels = 3
+    tp = tiled_dwt2(img, levels, "legall5.3", mesh=mesh)
+    cp = dwt2_lifting(img, levels, "legall5.3")
+    np.testing.assert_array_equal(np.asarray(tp.ll), np.asarray(cp.ll))
+    for (a, b, c), (x, y, z) in zip(tp.details, cp.details):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(z))
+    rec = np.asarray(tiled_idwt2(tp, mesh=mesh))
+    np.testing.assert_array_equal(rec, img.astype(rec.dtype))

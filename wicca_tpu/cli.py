@@ -149,7 +149,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("output")
     e.add_argument("--levels", type=int, default=5)
     e.add_argument("--step", type=float, default=1.0, help="deadzone quantization step")
-    e.add_argument("--wavelet", default="haar", choices=["haar", "db2", "bior4.4"])
+    e.add_argument(
+        "--wavelet",
+        default="haar",
+        choices=["haar", "db2", "bior4.4", "legall5.3", "haar_int"],
+        help="legall5.3 / haar_int produce a LOSSLESS stream (--step ignored)",
+    )
     e.add_argument("--threads", type=int, default=8)
     e.set_defaults(fn=_cmd_encode)
 
@@ -164,7 +169,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("input")
     i.add_argument("output")
     i.add_argument("--depth", type=int, default=5)
-    i.add_argument("--wavelet", default="haar", choices=["haar", "db2", "bior4.4", "haar_int"])
+    i.add_argument("--wavelet", default="haar", choices=["haar", "db2", "bior4.4", "legall5.3", "haar_int"])
     i.set_defaults(fn=_cmd_icon)
 
     c = sub.add_parser("compare", help="tabulate summaries across classifiers and depths")

@@ -3,7 +3,8 @@
 Layout (little-endian):
   magic b'WCT1' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
   f32 base_step | f32 level_gain | u32 ll_h | u32 ll_w |
-  raw float32 LL plane |
+  raw LL plane (float32; int32 for integer/lossless wavelets — same stride,
+  dtype implied by the wavelet id) |
   per level (fine->coarse), per band (lh,hl,hh):
     u8 dtype_code (0=int8,1=int16) | u32 sub_h | u32 sub_w | u32 nbytes |
     Rice bitstream (wicca_tpu.native.rice)
@@ -27,13 +28,17 @@ from wicca_tpu.native.rice import rice_decode, rice_encode
 _MAGIC = b"WCT1"
 _DTYPES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1}
 _DTYPES_INV = {0: np.int8, 1: np.int16}
-_WAVELETS = {"haar": 0, "db2": 1, "bior4.4": 2, "cdf97": 3}
-_WAVELETS_INV = {v: k for k, v in _WAVELETS.items()}
+_WAVELETS = {"haar": 0, "db2": 1, "bior4.4": 2, "cdf97": 3, "haar_int": 4, "legall5.3": 5, "cdf53": 5}
+_WAVELETS_INV = {0: "haar", 1: "db2", 2: "bior4.4", 3: "cdf97", 4: "haar_int", 5: "legall5.3"}
+# integer (lossless) streams carry an int32 LL plane; same 4-byte stride as
+# float32, dtype implied by the wavelet id
+_INT_WAVELET_IDS = {4, 5}
 
 
 def serialize(stream: CodeStream, threads: int = 8) -> bytes:
     """CodeStream -> container bytes (detail planes Rice-coded in parallel)."""
-    ll = np.asarray(stream.ll, dtype=np.float32)
+    ll_dtype = np.int32 if _WAVELETS[stream.wavelet] in _INT_WAVELET_IDS else np.float32
+    ll = np.asarray(stream.ll, dtype=ll_dtype)
     lead = ll.shape[0] if ll.ndim == 3 else 1
     planes = [np.asarray(b) for bands in stream.details for b in bands]
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
@@ -66,7 +71,8 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
-    ll = np.frombuffer(data, dtype=np.float32, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
+    ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
+    ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
     metas = []
     blobs = []

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from wicca_tpu.core.pad import pad_to_multiple, unpad
 from wicca_tpu.core.quant import QuantSpec
+from wicca_tpu.core.lifting import is_integer_wavelet as _is_int_wavelet
 from wicca_tpu.ops.dwt_pallas import (
     dwt_multilevel_quant_pallas,
     idwt_multilevel_dequant_pallas,
@@ -62,14 +63,26 @@ def encode(
 ) -> CodeStream:
     """Planar ``(..., H, W)`` uint8/float -> CodeStream.
 
-    ``wavelet='haar'`` uses the fused Pallas DWT+quantize kernel; the lifting
-    wavelets (db2 / bior4.4, :mod:`wicca_tpu.core.lifting`) run as XLA-fused
-    jnp with the same deadzone quantization (their detail dynamic range is
-    wider, so codes are int16)."""
+    ``wavelet='haar'`` uses the fused Pallas DWT+quantize kernel; the float
+    lifting wavelets (db2 / bior4.4, :mod:`wicca_tpu.core.lifting`) run as
+    XLA-fused jnp with the same deadzone quantization (their detail dynamic
+    range is wider, so codes are int16). Integer wavelets ('legall5.3' — the
+    JPEG2000 reversible filter — or 'haar_int') produce a LOSSLESS stream:
+    ``spec`` is ignored, detail codes are exact int16, and ``decode`` returns
+    the input bit-exactly."""
     orig = (image.shape[-2], image.shape[-1])
     x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant)
     details = []
-    if wavelet == "haar":
+    if _is_int_wavelet(wavelet):
+        from wicca_tpu.core.lifting import dwt2_level_lifting
+
+        ll = x.astype(jnp.int32)
+        for _ in range(levels):
+            ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
+            # 5/3 and S-transform details of u8 input are bounded well
+            # within int16 (|d| < 2^11 at any level)
+            details.append(tuple(b.astype(jnp.int16) for b in (lh, hl, hh)))
+    elif wavelet == "haar":
         # fused passes of <=3 levels: one HBM read per pass; uint8 input
         # stays uint8 into the first pass (integer-exact early levels)
         ll = x
@@ -105,6 +118,17 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     stored subband shapes record it, so each reconstruction is cropped to the
     next-finer level's subband extent before combining."""
     x = stream.ll
+    if _is_int_wavelet(stream.wavelet):
+        from wicca_tpu.core.lifting import idwt2_level_lifting
+
+        x = x.astype(jnp.int32)
+        for lvl in range(stream.levels, 0, -1):
+            lh, hl, hh = (b.astype(jnp.int32) for b in stream.details[lvl - 1])
+            x = x[..., : lh.shape[-2], : lh.shape[-1]]
+            x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
+        if emit_u8:
+            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+        return unpad(x, *stream.orig_shape)
     if stream.wavelet == "haar":
         # mirror the encoder's pass partition (fine-side groups of <=3)
         sizes = []
@@ -194,6 +218,41 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         raise ValueError(f"target_level must be in [0, {stream.levels}]")
     if target_level == 0:
         return decode(stream, emit_u8=emit_u8)
+    h, w = stream.orig_shape
+    out_h = -(-h // (1 << target_level))
+    out_w = -(-w // (1 << target_level))
+    if _is_int_wavelet(stream.wavelet):
+        from wicca_tpu.core.lifting import idwt2_level_lifting
+
+        x = stream.ll.astype(jnp.int32)
+        for lvl in range(stream.levels, target_level, -1):
+            lh, hl, hh = (b.astype(jnp.int32) for b in stream.details[lvl - 1])
+            x = x[..., : lh.shape[-2], : lh.shape[-1]]
+            x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
+        x = unpad(x, out_h, out_w)
+        if emit_u8:
+            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+        return x
+    if stream.wavelet != "haar":
+        from wicca_tpu.core.lifting import idwt2_level_lifting
+        from wicca_tpu.core.quant import dequantize_deadzone
+
+        x = stream.ll
+        for lvl in range(stream.levels, target_level, -1):
+            lh, hl, hh = stream.details[lvl - 1]
+            step = stream.spec.detail_step(lvl)
+            x = x[..., : lh.shape[-2], : lh.shape[-1]]
+            x = idwt2_level_lifting(
+                x,
+                dequantize_deadzone(lh, step),
+                dequantize_deadzone(hl, step),
+                dequantize_deadzone(hh, step),
+                stream.wavelet,
+            )
+        x = unpad(x, out_h, out_w)
+        if emit_u8:
+            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+        return x
     from wicca_tpu.ops import dwt_pallas as _dp
     from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
 
@@ -219,9 +278,6 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         x = x[..., :ch, :cw]
         x = idwt_multilevel_dequant_pallas(x, use, steps)
         hi = max(lo, target_level)
-    h, w = stream.orig_shape
-    out_h = -(-h // (1 << target_level))
-    out_w = -(-w // (1 << target_level))
     x = unpad(x, out_h, out_w)
     if emit_u8:
         x = jnp.clip(x, 0, 255).astype(jnp.uint8)

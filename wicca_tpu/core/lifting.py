@@ -73,6 +73,32 @@ def haar_int_inv1d(s: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# LeGall 5/3 (JPEG2000 reversible path) — integer lifting, exactly invertible
+# ---------------------------------------------------------------------------
+
+
+def legall53_fwd1d(x: jnp.ndarray, shift=_shift) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """LeGall 5/3 analysis (the JPEG2000 lossless filter):
+
+        d[n] = o[n] - floor((e[n] + e[n+1]) / 2)
+        s[n] = e[n] + floor((d[n-1] + d[n] + 2) / 4)
+
+    ``>>`` on int32 is an arithmetic shift = floor division, so every step is
+    exactly invertible. DC gain of ``s`` is 1 (values stay in display range).
+    """
+    e, o = _split_pairs(x, axis=-1)
+    d = o - ((e + shift(e, +1)) >> 1)
+    s = e + ((shift(d, -1) + d + 2) >> 2)
+    return s, d
+
+
+def legall53_inv1d(s: jnp.ndarray, d: jnp.ndarray, shift=_shift) -> jnp.ndarray:
+    e = s - ((shift(d, -1) + d + 2) >> 2)
+    o = d + ((e + shift(e, +1)) >> 1)
+    return _interleave(e, o, axis=-1)
+
+
+# ---------------------------------------------------------------------------
 # Float lifting wavelets: db2 (D4) and bior4.4 (CDF 9/7)
 # ---------------------------------------------------------------------------
 
@@ -130,10 +156,19 @@ def cdf97_inv1d(s: jnp.ndarray, d: jnp.ndarray, shift=_shift) -> jnp.ndarray:
 
 _WAVELETS_1D = {
     "haar_int": (haar_int_fwd1d, haar_int_inv1d),
+    "legall5.3": (legall53_fwd1d, legall53_inv1d),
+    "cdf53": (legall53_fwd1d, legall53_inv1d),
     "db2": (db2_fwd1d, db2_inv1d),
     "bior4.4": (cdf97_fwd1d, cdf97_inv1d),
     "cdf97": (cdf97_fwd1d, cdf97_inv1d),
 }
+
+# Integer (reversible) wavelets: transforms run in int32 and invert exactly.
+_INT_WAVELETS = frozenset({"haar_int", "legall5.3", "cdf53"})
+
+
+def is_integer_wavelet(name: str) -> bool:
+    return name in _INT_WAVELETS
 
 
 def lifting_wavelets() -> tuple[str, ...]:
@@ -187,7 +222,7 @@ def dwt2_lifting(x: jnp.ndarray, levels: int, wavelet: str = "haar_int", mode="r
         raise ValueError(f"Unknown wavelet {wavelet!r}; have {sorted(_WAVELETS_1D)}")
     orig = (x.shape[-2], x.shape[-1])
     x = pad_to_multiple(x, 2**levels, mode=mode, constant=constant)
-    x = x.astype(jnp.int32) if wavelet == "haar_int" else x.astype(jnp.float32)
+    x = x.astype(jnp.int32) if is_integer_wavelet(wavelet) else x.astype(jnp.float32)
     details = []
     ll = x
     for _ in range(levels):

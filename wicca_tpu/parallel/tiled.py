@@ -30,7 +30,7 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from wicca_tpu.core.haar import Pyramid, dwt2_level, idwt2_level
-from wicca_tpu.core.lifting import _WAVELETS_1D
+from wicca_tpu.core.lifting import _WAVELETS_1D, is_integer_wavelet
 from wicca_tpu.core.pad import pad_to_multiple, unpad
 from wicca_tpu.parallel.halo import make_shift
 from wicca_tpu.parallel.mesh import TILE_COL_AXIS, TILE_ROW_AXIS
@@ -112,7 +112,7 @@ def tiled_dwt2(
         raise ValueError(f"Unknown wavelet {wavelet!r}")
     orig = (x.shape[-2], x.shape[-1])
     x = _pad_for_mesh(x, levels, mesh, mode, constant)
-    x = x.astype(jnp.int32) if wavelet == "haar_int" else x.astype(jnp.float32)
+    x = x.astype(jnp.int32) if is_integer_wavelet(wavelet) else x.astype(jnp.float32)
     spec = _img_spec(x.ndim)
     tx_axis = TILE_COL_AXIS if mesh.shape[TILE_COL_AXIS] > 1 else None
     ty_axis = TILE_ROW_AXIS if mesh.shape[TILE_ROW_AXIS] > 1 else None
