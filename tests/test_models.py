@@ -17,13 +17,15 @@ ARCHS = [
     "MobileNetV2",
     pytest.param("VGG16", marks=pytest.mark.slow),
     pytest.param("DenseNet121", marks=pytest.mark.slow),
+    pytest.param("NASNetMobile", marks=pytest.mark.slow),
 ]
 
 
 def test_all_architectures_registered():
-    assert {"MobileNetV2", "ResNet50", "EfficientNetB0", "VGG16", "VGG19", "DenseNet121", "SimpleCNN"} <= set(
-        available_architectures()
-    )
+    assert {
+        "MobileNetV2", "ResNet50", "EfficientNetB0", "VGG16", "VGG19",
+        "DenseNet121", "NASNetMobile", "SimpleCNN",
+    } <= set(available_architectures())
 
 
 @pytest.mark.parametrize("arch", ARCHS)
@@ -71,3 +73,17 @@ def test_deterministic_init():
     b = load_single_model("SimpleCNN", shape=(32, 32))
     x = np.random.default_rng(1).normal(size=(1, 32, 32, 3)).astype(np.float32)
     np.testing.assert_array_equal(a[MODEL](x), b[MODEL](x))
+
+
+def test_nasnet_mobile_param_count():
+    """Cell wiring sanity: NASNet-A (4 @ 1056) must land at ~5.3M params
+    (Zoph et al. 2018 table 3 reports 5.3M for the mobile config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wicca_tpu.models.flax_models import NASNetMobile
+
+    m = NASNetMobile(dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert 5.0e6 < n < 5.6e6, n

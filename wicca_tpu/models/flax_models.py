@@ -224,6 +224,129 @@ class EfficientNetB0(nn.Module):
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
 
 
+def _sep_block(x, filters, kernel, strides, dtype):
+    """NASNet separable-conv block: relu -> sepconv(k, s) -> bn -> relu ->
+    sepconv(k, 1) -> bn. Depthwise+pointwise pairs land on the MXU."""
+    h = nn.relu(x)
+    for i, s in enumerate((strides, (1, 1))):
+        ch = h.shape[-1]
+        h = nn.Conv(ch, kernel, strides=s, feature_group_count=ch, use_bias=False, dtype=dtype)(h)
+        h = nn.Conv(filters, (1, 1), use_bias=False, dtype=dtype)(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(h).astype(dtype)
+        if i == 0:
+            h = nn.relu(h)
+    return h
+
+
+def _adjust(p, ip, filters, dtype):
+    """Match the previous hidden state ``p`` to ``ip``'s spatial dims and the
+    cell's filter count (factorized reduction with the 1-pixel-shift second
+    path, as in the NASNet paper's reference implementation)."""
+    if p is None:
+        p = ip
+    if p.shape[1] != ip.shape[1]:
+        p = nn.relu(p)
+        p1 = nn.avg_pool(p, (1, 1), strides=(2, 2))
+        p1 = nn.Conv(filters // 2, (1, 1), use_bias=False, dtype=dtype)(p1)
+        p2 = jnp.pad(p, ((0, 0), (0, 1), (0, 1), (0, 0)))[:, 1:, 1:, :]
+        p2 = nn.avg_pool(p2, (1, 1), strides=(2, 2))
+        p2 = nn.Conv(filters - filters // 2, (1, 1), use_bias=False, dtype=dtype)(p2)
+        p = jnp.concatenate([p1, p2], axis=-1)
+        p = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(p).astype(dtype)
+    elif p.shape[-1] != filters:
+        p = nn.relu(p)
+        p = nn.Conv(filters, (1, 1), use_bias=False, dtype=dtype)(p)
+        p = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(p).astype(dtype)
+    return p
+
+
+def _avg3(x, strides=(1, 1)):
+    return nn.avg_pool(x, (3, 3), strides=strides, padding="SAME")
+
+
+def _max3(x, strides=(1, 1)):
+    return nn.max_pool(x, (3, 3), strides=strides, padding="SAME")
+
+
+class _NormalCellA(nn.Module):
+    """NASNet-A normal cell (Zoph et al. 2018, fig. 4 left)."""
+
+    filters: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, p):
+        f, dt = self.filters, self.dtype
+        ip = x
+        p = _adjust(p, x, f, dt)
+        h = nn.relu(x)
+        h = nn.Conv(f, (1, 1), use_bias=False, dtype=dt)(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(h).astype(dt)
+        x1 = _sep_block(h, f, (5, 5), (1, 1), dt) + _sep_block(p, f, (3, 3), (1, 1), dt)
+        x2 = _sep_block(p, f, (5, 5), (1, 1), dt) + _sep_block(p, f, (3, 3), (1, 1), dt)
+        x3 = _avg3(h) + p
+        x4 = _avg3(p) * jnp.asarray(2, dt)  # two identical avg-pool branches
+        x5 = _sep_block(h, f, (3, 3), (1, 1), dt) + h
+        return jnp.concatenate([p, x1, x2, x3, x4, x5], axis=-1), ip
+
+
+class _ReductionCellA(nn.Module):
+    """NASNet-A reduction cell (Zoph et al. 2018, fig. 4 right)."""
+
+    filters: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, p):
+        f, dt = self.filters, self.dtype
+        ip = x
+        p = _adjust(p, x, f, dt)
+        h = nn.relu(x)
+        h = nn.Conv(f, (1, 1), use_bias=False, dtype=dt)(h)
+        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(h).astype(dt)
+        s2 = (2, 2)
+        x1 = _sep_block(h, f, (5, 5), s2, dt) + _sep_block(p, f, (7, 7), s2, dt)
+        x2 = _max3(h, s2) + _sep_block(p, f, (7, 7), s2, dt)
+        x3 = _avg3(h, s2) + _sep_block(p, f, (5, 5), s2, dt)
+        x4 = _avg3(x1) + x2
+        x5 = _sep_block(x1, f, (3, 3), (1, 1), dt) + _max3(h, s2)
+        return jnp.concatenate([x2, x3, x4, x5], axis=-1), ip
+
+
+class NASNetMobile(nn.Module):
+    """NASNet-A (4 @ 1056) mobile config, 224x224 -> 1000 logits
+    (Zoph et al. 2018; BASELINE.json config 4 names MobileNetV2/NASNet).
+
+    Cell wiring follows the paper's published NASNet-A cells; not intended
+    to be weight-compatible with any specific checkpoint format.
+    """
+
+    num_classes: int = 1000
+    penultimate_filters: int = 1056
+    cells_per_stack: int = 4
+    stem_filters: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.penultimate_filters // 24  # 44 for mobile
+        dt = self.dtype
+        x = x.astype(dt)
+        x = nn.Conv(self.stem_filters, (3, 3), strides=(2, 2), use_bias=False, dtype=dt)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x).astype(dt)
+        p = None
+        x, p = _ReductionCellA(max(1, f // 4), dtype=dt)(x, p)
+        x, p = _ReductionCellA(max(1, f // 2), dtype=dt)(x, p)
+        for mult in (1, 2, 4):
+            if mult > 1:
+                x, p = _ReductionCellA(f * mult, dtype=dt)(x, p)
+            for _ in range(self.cells_per_stack):
+                x, p = _NormalCellA(f * mult, dtype=dt)(x, p)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
 class VGG(nn.Module):
     """VGG-16/19 (Simonyan & Zisserman 2014), 224x224 -> 1000 logits."""
 

@@ -80,6 +80,7 @@ _ARCHITECTURES: dict[str, tuple[Any, Any]] = {
     "VGG16": (flax_models.VGG16, preprocess_caffe),
     "VGG19": (flax_models.VGG19, preprocess_caffe),
     "DenseNet121": (flax_models.DenseNet121, preprocess_torch),
+    "NASNetMobile": (flax_models.NASNetMobile, preprocess_minus1_1),
 }
 
 
