@@ -232,3 +232,19 @@ def test_progressive_decode_float_lifting(wavelet):
     np.testing.assert_allclose(
         np.asarray(decode_at_level(stream, 3)), np.asarray(stream.ll), atol=1e-6
     )
+
+
+@pytest.mark.slow
+def test_lossless_53_multitile_progressive():
+    """Multi-tile 5/3 Pallas streams: full decode is bit-exact and every
+    progressive level equals the encoder's own intermediate LL (the partial
+    pass must clamp at the encoder's tile boundaries — orig_k plumbing)."""
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = _img((1, 1024, 2048), seed=21)
+    st = encode(x, levels=5, wavelet="legall5.3")
+    np.testing.assert_array_equal(np.asarray(decode(st, emit_u8=True)), x)
+    for t in (2, 4):
+        got = np.asarray(decode_at_level(st, t))
+        want = np.asarray(encode(x, levels=t, wavelet="legall5.3").ll)
+        np.testing.assert_array_equal(got, want[:, : got.shape[-2], : got.shape[-1]])

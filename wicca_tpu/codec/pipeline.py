@@ -73,14 +73,25 @@ def encode(
     orig = (image.shape[-2], image.shape[-1])
     x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant)
     details = []
-    if _is_int_wavelet(wavelet):
+    if wavelet in ("legall5.3", "cdf53"):
+        # fused tile-local Pallas passes (JPEG2000-style independent tiles;
+        # see wicca_tpu.ops.dwt53_pallas). Detail codes are exact int16.
+        from wicca_tpu.ops.dwt53_pallas import dwt53_multilevel_pallas
+
+        ll = x
+        lvl = 0
+        while lvl < levels:
+            k = min(3, levels - lvl)
+            ll, dets = dwt53_multilevel_pallas(ll, k)
+            details.extend(dets)
+            lvl += k
+    elif _is_int_wavelet(wavelet):
         from wicca_tpu.core.lifting import dwt2_level_lifting
 
         ll = x.astype(jnp.int32)
         for _ in range(levels):
             ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
-            # 5/3 and S-transform details of u8 input are bounded well
-            # within int16 (|d| < 2^11 at any level)
+            # S-transform details of u8 input are bounded well within int16
             details.append(tuple(b.astype(jnp.int16) for b in (lh, hl, hh)))
     elif wavelet == "haar":
         # fused passes of <=3 levels: one HBM read per pass; uint8 input
@@ -118,6 +129,23 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     stored subband shapes record it, so each reconstruction is cropped to the
     next-finer level's subband extent before combining."""
     x = stream.ll
+    if stream.wavelet in ("legall5.3", "cdf53"):
+        from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
+
+        sizes = []
+        lvl = 0
+        while lvl < stream.levels:
+            sizes.append(min(3, stream.levels - lvl))
+            lvl += sizes[-1]
+        hi = stream.levels
+        for k in reversed(sizes):
+            lo = hi - k
+            dets = [stream.details[i] for i in range(lo, hi)]
+            ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
+            x = x[..., :ch, :cw]
+            x = idwt53_multilevel_pallas(x, dets, k, emit_u8=emit_u8 and lo == 0)
+            hi = lo
+        return unpad(x, *stream.orig_shape)
     if _is_int_wavelet(stream.wavelet):
         from wicca_tpu.core.lifting import idwt2_level_lifting
 
@@ -221,6 +249,31 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
     h, w = stream.orig_shape
     out_h = -(-h // (1 << target_level))
     out_w = -(-w // (1 << target_level))
+    if stream.wavelet in ("legall5.3", "cdf53"):
+        from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
+
+        x = stream.ll
+        sizes = []
+        lvl = 0
+        while lvl < stream.levels:
+            sizes.append(min(3, stream.levels - lvl))
+            lvl += sizes[-1]
+        hi = stream.levels
+        for k in reversed(sizes):
+            lo = hi - k
+            if hi <= target_level:
+                break
+            use = [stream.details[i] for i in range(max(lo, target_level), hi)]
+            ch, cw = use[-1][0].shape[-2], use[-1][0].shape[-1]
+            x = x[..., :ch, :cw]
+            # orig_k aligns the partial pass's tile-local clamps with the
+            # encoder's full-pass tile grid
+            x = idwt53_multilevel_pallas(x, use, len(use), orig_k=k)
+            hi = max(lo, target_level)
+        x = unpad(x, out_h, out_w)
+        if emit_u8:
+            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+        return x
     if _is_int_wavelet(stream.wavelet):
         from wicca_tpu.core.lifting import idwt2_level_lifting
 
