@@ -248,3 +248,90 @@ def test_lossless_53_multitile_progressive():
         got = np.asarray(decode_at_level(st, t))
         want = np.asarray(encode(x, levels=t, wavelet="legall5.3").ll)
         np.testing.assert_array_equal(got, want[:, : got.shape[-2], : got.shape[-1]])
+
+
+# ---------------------------------------------------------------------------
+# Color transforms (RCT / ICT)
+# ---------------------------------------------------------------------------
+
+
+def _photo_like(shape=(3, 96, 128), seed=13):
+    """Strongly channel-correlated smooth content (color transforms only
+    help when channels correlate, as in photographs: luma carries nearly
+    all the signal, chroma varies slowly)."""
+    yy, xx = np.mgrid[0 : shape[1], 0 : shape[2]].astype(np.float32)
+    rng = np.random.default_rng(seed)
+    # luminance: smooth waves + edges + texture, SHARED across channels
+    # (in photographs fine detail is overwhelmingly luminance)
+    base = 120 + 70 * np.sin(xx / 11) + 45 * np.cos(yy / 17)
+    base += 25 * ((xx.astype(int) // 32 + yy.astype(int) // 24) % 2)
+    base += rng.normal(0, 2.5, base.shape)
+    gains = (1.0, 0.92, 0.85)
+    chans = [g * base + 8 * np.sin(xx / 40 + c) for c, g in enumerate(gains[: shape[0]])]
+    return np.clip(np.stack(chans), 0, 255).astype(np.uint8)
+
+
+def test_rct_exact_inverse():
+    from wicca_tpu.core.color import rct_fwd, rct_inv
+
+    x = _img((3, 40, 56), seed=31).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(rct_inv(rct_fwd(x))), x)
+
+
+def test_ict_inverse_close():
+    from wicca_tpu.core.color import ict_fwd, ict_inv
+
+    x = _img((3, 40, 56), seed=32).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(ict_inv(ict_fwd(x))), x, atol=1e-3)
+
+
+def test_lossless_rct_stream_bit_exact_and_smaller():
+    from wicca_tpu.codec.pipeline import estimated_entropy_bytes
+
+    x = _photo_like()
+    plain = encode(x, levels=3, wavelet="legall5.3")
+    rct = encode(x, levels=3, wavelet="legall5.3", color="rct")
+    np.testing.assert_array_equal(np.asarray(decode(rct, emit_u8=True)), x)
+    # decorrelation must shrink the entropy estimate on correlated content
+    assert estimated_entropy_bytes(rct) < estimated_entropy_bytes(plain)
+
+
+def test_ict_stream_roundtrip_and_container(tmp_path):
+    from wicca_tpu.codec.container import load, save
+
+    x = _photo_like(seed=14)
+    st = encode(x, levels=3, spec=QuantSpec(base_step=1.0), color="ict", chroma_gain=2.0)
+    rec = np.asarray(decode(st, emit_u8=True))
+    assert rec.shape == x.shape
+    assert float(psnr(rec.astype(np.float32), x.astype(np.float32))) > 33.0
+    path = tmp_path / "c.wct"
+    save(st, str(path))
+    loaded = load(str(path))
+    assert loaded.color == "ict" and abs(loaded.chroma_gain - 2.0) < 1e-6
+    np.testing.assert_array_equal(np.asarray(decode(loaded, emit_u8=True)), rec)
+
+
+def test_color_validation_errors():
+    x = _img((3, 32, 32))
+    with pytest.raises(ValueError):
+        encode(x, levels=2, color="rct")  # float wavelet + rct
+    with pytest.raises(ValueError):
+        encode(x, levels=2, wavelet="legall5.3", color="ict")
+    with pytest.raises(ValueError):
+        encode(_img((32, 32)), levels=2, color="rct")  # not 3-channel
+
+
+def test_color_progressive_and_icon():
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = _photo_like(seed=15)
+    st = encode(x, levels=3, wavelet="legall5.3", color="rct")
+    full = np.asarray(decode_at_level(st, 0, emit_u8=True))
+    np.testing.assert_array_equal(full, x)
+    small = np.asarray(decode_at_level(st, 2, emit_u8=True))
+    assert small.shape == (3, 24, 32)
+    ic = np.asarray(icon_from_stream(st))
+    assert ic.dtype == np.uint8 and ic.shape == (3, 12, 16)
+    # icon is an approximate RGB rendering of the coarse band
+    ref_icon = np.asarray(icon_from_stream(encode(x, levels=3, wavelet="legall5.3")))
+    assert np.abs(ic.astype(int) - ref_icon.astype(int)).mean() < 4.0

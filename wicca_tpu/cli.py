@@ -55,7 +55,8 @@ def _cmd_encode(args) -> int:
         print(f"error: cannot read image {args.input}", file=sys.stderr)
         return 2
     stream = encode(
-        to_planar(image), levels=args.levels, spec=QuantSpec(base_step=args.step), wavelet=args.wavelet
+        to_planar(image), levels=args.levels, spec=QuantSpec(base_step=args.step),
+        wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
     )
     nbytes = save(stream, args.output, threads=args.threads)
     raw = int(np.prod(image.shape))
@@ -155,6 +156,14 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["haar", "db2", "bior4.4", "legall5.3", "haar_int"],
         help="legall5.3 / haar_int produce a LOSSLESS stream (--step ignored)",
     )
+    e.add_argument(
+        "--color",
+        default="none",
+        choices=["none", "rct", "ict"],
+        help="channel decorrelation: rct (reversible, integer wavelets) or ict (YCbCr, float wavelets)",
+    )
+    e.add_argument("--chroma-gain", type=float, default=1.0,
+                   help="quantize ICT chroma this much coarser")
     e.add_argument("--threads", type=int, default=8)
     e.set_defaults(fn=_cmd_encode)
 

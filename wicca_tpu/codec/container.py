@@ -1,8 +1,9 @@
 """On-disk container for encoded images (.wct — "wicca-tpu codestream").
 
 Layout (little-endian):
-  magic b'WCT1' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
+  magic b'WCT2' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
   f32 base_step | f32 level_gain | u32 ll_h | u32 ll_w |
+  u8 color (0 none / 1 rct / 2 ict) | f32 chroma_gain |
   raw LL plane (float32; int32 for integer/lossless wavelets — same stride,
   dtype implied by the wavelet id) |
   per level (fine->coarse), per band (lh,hl,hh):
@@ -25,7 +26,10 @@ from wicca_tpu.codec.pipeline import CodeStream
 from wicca_tpu.core.quant import QuantSpec
 from wicca_tpu.native.rice import rice_decode, rice_encode
 
-_MAGIC = b"WCT1"
+_MAGIC = b"WCT2"
+_MAGIC_V1 = b"WCT1"  # still readable: no color fields, ll dtype by wavelet
+_COLORS = {"none": 0, "rct": 1, "ict": 2}
+_COLORS_INV = {v: k for k, v in _COLORS.items()}
 _DTYPES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1}
 _DTYPES_INV = {0: np.int8, 1: np.int16}
 _WAVELETS = {"haar": 0, "db2": 1, "bior4.4": 2, "cdf97": 3, "haar_int": 4, "legall5.3": 5, "cdf53": 5}
@@ -57,6 +61,7 @@ def serialize(stream: CodeStream, threads: int = 8) -> bytes:
         ll.shape[-2],
         ll.shape[-1],
     )
+    out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += ll.tobytes()
     for plane, data in zip(planes, encoded):
         out += struct.pack("<BIII", _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data))
@@ -66,11 +71,17 @@ def serialize(stream: CodeStream, threads: int = 8) -> bytes:
 
 def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     """Container bytes -> CodeStream (planes decoded in parallel)."""
-    if data[:4] != _MAGIC:
-        raise ValueError("not a WCT1 container")
+    if data[:4] not in (_MAGIC, _MAGIC_V1):
+        raise ValueError("not a WCT container")
+    v1 = data[:4] == _MAGIC_V1
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
+    if v1:
+        color, chroma_gain = 0, 1.0
+    else:
+        color, chroma_gain = struct.unpack_from("<Bf", data, off)
+        off += struct.calcsize("<Bf")
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
@@ -94,7 +105,7 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     spec = QuantSpec(base_step=base_step, level_gain=level_gain)
     return CodeStream(
         ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
-        wavelet=_WAVELETS_INV[wv],
+        wavelet=_WAVELETS_INV[wv], color=_COLORS_INV[color], chroma_gain=float(chroma_gain),
     )
 
 

@@ -30,12 +30,16 @@ from wicca_tpu.ops.dwt_pallas import (
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ll", "details"],
-    meta_fields=["spec", "levels", "orig_shape", "wavelet"],
+    meta_fields=["spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain"],
 )
 @dataclasses.dataclass(frozen=True)
 class CodeStream:
     """Quantized multi-level representation. ``details[k]`` = (lh, hl, hh)
-    int8 codes of level k+1 (finest first); ``ll`` = float32 coarse band."""
+    int8 codes of level k+1 (finest first); ``ll`` = float32 coarse band
+    (int32 for integer/lossless wavelets). ``color`` records a channel
+    decorrelation applied before the transform ('rct' reversible / 'ict'
+    BT.601, :mod:`wicca_tpu.core.color`); ``chroma_gain`` > 1 quantizes ICT
+    chroma planes that much coarser."""
 
     ll: jax.Array
     details: tuple[tuple[jax.Array, jax.Array, jax.Array], ...]
@@ -43,6 +47,8 @@ class CodeStream:
     levels: int
     orig_shape: tuple[int, int]
     wavelet: str = "haar"
+    color: str = "none"
+    chroma_gain: float = 1.0
 
     def num_bytes(self) -> int:
         n = self.ll.size * self.ll.dtype.itemsize
@@ -52,7 +58,7 @@ class CodeStream:
         return n
 
 
-@partial(jax.jit, static_argnames=("levels", "spec", "mode", "constant", "wavelet"))
+@partial(jax.jit, static_argnames=("levels", "spec", "mode", "constant", "wavelet", "color", "chroma_gain"))
 def encode(
     image: jax.Array,
     levels: int = 5,
@@ -60,6 +66,8 @@ def encode(
     mode: str = "replicate",
     constant: int = 0,
     wavelet: str = "haar",
+    color: str = "none",
+    chroma_gain: float = 1.0,
 ) -> CodeStream:
     """Planar ``(..., H, W)`` uint8/float -> CodeStream.
 
@@ -69,9 +77,33 @@ def encode(
     range is wider, so codes are int16). Integer wavelets ('legall5.3' — the
     JPEG2000 reversible filter — or 'haar_int') produce a LOSSLESS stream:
     ``spec`` is ignored, detail codes are exact int16, and ``decode`` returns
-    the input bit-exactly."""
+    the input bit-exactly.
+
+    ``color='rct'`` (integer wavelets, 3-channel input) applies the
+    reversible color transform first — the lossless guarantee holds and the
+    decorrelated planes entropy-code smaller. ``color='ict'`` (float
+    wavelets) applies BT.601 YCbCr; ``chroma_gain`` > 1 quantizes Cb/Cr
+    that much coarser (the classic perceptual allocation)."""
+    if color not in ("none", "rct", "ict"):
+        raise ValueError(f"color must be none|rct|ict, got {color!r}")
+    if color != "none" and (image.ndim < 3 or image.shape[-3] != 3):
+        raise ValueError("color transforms need planar (..., 3, H, W) input")
+    if color == "rct" and not _is_int_wavelet(wavelet):
+        raise ValueError("rct is reversible — pair it with an integer wavelet")
+    if color == "ict" and _is_int_wavelet(wavelet):
+        raise ValueError("ict is lossy — pair it with a float wavelet")
     orig = (image.shape[-2], image.shape[-1])
     x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant)
+    if color == "rct":
+        from wicca_tpu.core.color import rct_fwd
+
+        x = rct_fwd(x)
+    elif color == "ict":
+        from wicca_tpu.core.color import ict_fwd
+
+        x = ict_fwd(x)
+        if chroma_gain != 1.0:
+            x = x * jnp.array([1.0, 1.0 / chroma_gain, 1.0 / chroma_gain], jnp.float32).reshape(3, 1, 1)
     details = []
     if wavelet in ("legall5.3", "cdf53"):
         # fused tile-local Pallas passes (JPEG2000-style independent tiles;
@@ -115,7 +147,8 @@ def encode(
             step = spec.detail_step(lvl)
             details.append(tuple(quantize_deadzone(b, step, jnp.int16) for b in (lh, hl, hh)))
     return CodeStream(
-        ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig, wavelet=wavelet
+        ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig,
+        wavelet=wavelet, color=color, chroma_gain=chroma_gain,
     )
 
 
@@ -128,6 +161,9 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     The encoder may tile-pad each level's input (see dwt_level_quant_pallas);
     stored subband shapes record it, so each reconstruction is cropped to the
     next-finer level's subband extent before combining."""
+    # with a color transform the in-kernel u8 emission must wait until after
+    # the inverse color rotation (shared tail below)
+    u8_in = emit_u8 and stream.color == "none"
     x = stream.ll
     if stream.wavelet in ("legall5.3", "cdf53"):
         from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
@@ -143,9 +179,9 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             dets = [stream.details[i] for i in range(lo, hi)]
             ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
             x = x[..., :ch, :cw]
-            x = idwt53_multilevel_pallas(x, dets, k, emit_u8=emit_u8 and lo == 0)
+            x = idwt53_multilevel_pallas(x, dets, k, emit_u8=u8_in and lo == 0)
             hi = lo
-        return unpad(x, *stream.orig_shape)
+        return _finish_decode(stream, x, emit_u8)
     if _is_int_wavelet(stream.wavelet):
         from wicca_tpu.core.lifting import idwt2_level_lifting
 
@@ -154,9 +190,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             lh, hl, hh = (b.astype(jnp.int32) for b in stream.details[lvl - 1])
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
-        if emit_u8:
-            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
-        return unpad(x, *stream.orig_shape)
+        return _finish_decode(stream, x, emit_u8)
     if stream.wavelet == "haar":
         # mirror the encoder's pass partition (fine-side groups of <=3)
         sizes = []
@@ -173,7 +207,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
 
             ch, cw = detail_spatial_shape(dets[-1][0], k)
             x = x[..., :ch, :cw]
-            x = idwt_multilevel_dequant_pallas(x, dets, steps, emit_u8=emit_u8 and lo == 0)
+            x = idwt_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0)
             hi = lo
     else:
         from wicca_tpu.core.lifting import idwt2_level_lifting
@@ -190,14 +224,37 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
                 dequantize_deadzone(hh, step),
                 stream.wavelet,
             )
-        if emit_u8:
-            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+    return _finish_decode(stream, x, emit_u8)
+
+
+def _undo_color(stream: CodeStream, x: jax.Array) -> jax.Array:
+    if stream.color == "rct":
+        from wicca_tpu.core.color import rct_inv
+
+        return rct_inv(x)
+    if stream.color == "ict":
+        from wicca_tpu.core.color import ict_inv
+
+        if stream.chroma_gain != 1.0:
+            x = x * jnp.array([1.0, stream.chroma_gain, stream.chroma_gain], jnp.float32).reshape(3, 1, 1)
+        return ict_inv(x)
+    return x
+
+
+def _finish_decode(stream: CodeStream, x: jax.Array, emit_u8: bool) -> jax.Array:
+    """Shared decode tail: inverse color rotation, then clip/cast if the
+    kernel did not already emit uint8."""
+    x = _undo_color(stream, x)
+    if emit_u8 and x.dtype != jnp.uint8:
+        x = jnp.clip(x, 0, 255).astype(jnp.uint8)
     return unpad(x, *stream.orig_shape)
 
 
 def icon_from_stream(stream: CodeStream) -> jax.Array:
-    """uint8 icon straight from the coarse band (free at decode time)."""
-    return jnp.clip(stream.ll, 0, 255).astype(jnp.uint8)
+    """uint8 icon straight from the coarse band (free at decode time).
+    Color-transformed streams get the inverse rotation applied to the LL
+    (per-pixel linear, so the coarse band rotates the same way)."""
+    return jnp.clip(_undo_color(stream, stream.ll), 0, 255).astype(jnp.uint8)
 
 
 def compression_ratio(stream: CodeStream) -> float:
@@ -270,6 +327,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             # encoder's full-pass tile grid
             x = idwt53_multilevel_pallas(x, use, len(use), orig_k=k)
             hi = max(lo, target_level)
+        x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
             x = jnp.clip(x, 0, 255).astype(jnp.uint8)
@@ -282,6 +340,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             lh, hl, hh = (b.astype(jnp.int32) for b in stream.details[lvl - 1])
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
+        x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
             x = jnp.clip(x, 0, 255).astype(jnp.uint8)
@@ -302,6 +361,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
                 dequantize_deadzone(hh, step),
                 stream.wavelet,
             )
+        x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
             x = jnp.clip(x, 0, 255).astype(jnp.uint8)
@@ -331,6 +391,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         x = x[..., :ch, :cw]
         x = idwt_multilevel_dequant_pallas(x, use, steps)
         hi = max(lo, target_level)
+    x = _undo_color(stream, x)
     x = unpad(x, out_h, out_w)
     if emit_u8:
         x = jnp.clip(x, 0, 255).astype(jnp.uint8)
