@@ -30,29 +30,36 @@ namespace {
 constexpr int BLOCK = 512;
 constexpr uint32_t ESCAPE_Q = 20;  // unary quotient cap before raw escape
 
+// 64-bit accumulators: the writer flushes 4 bytes per spill (unaligned
+// store), the reader refills 8 bytes at a time and decodes unary runs with
+// one ctz instead of bit-by-bit loops. The emitted BITSTREAM is identical
+// to the original byte-at-a-time implementation (LSB-first packing).
 struct BitWriter {
     uint8_t* out;
     size_t cap;
     size_t byte = 0;
-    uint32_t acc = 0;
+    uint64_t acc = 0;
     int nbits = 0;
     bool overflow = false;
 
-    void put(uint32_t bits, int n) {
-        acc |= bits << nbits;
+    inline void put(uint32_t bits, int n) {  // n <= 32
+        acc |= static_cast<uint64_t>(bits) << nbits;
         nbits += n;
-        while (nbits >= 8) {
-            if (byte >= cap) { overflow = true; nbits = 0; return; }
-            out[byte++] = static_cast<uint8_t>(acc & 0xff);
-            acc >>= 8;
-            nbits -= 8;
+        if (nbits >= 32) {
+            if (byte + 4 > cap) { overflow = true; nbits &= 31; return; }
+            uint32_t w = static_cast<uint32_t>(acc);
+            std::memcpy(out + byte, &w, 4);
+            byte += 4;
+            acc >>= 32;
+            nbits -= 32;
         }
     }
     size_t finish() {
-        if (nbits > 0) {
+        while (nbits > 0) {
             if (byte >= cap) { overflow = true; return 0; }
             out[byte++] = static_cast<uint8_t>(acc & 0xff);
-            acc = 0; nbits = 0;
+            acc >>= 8;
+            nbits -= 8;
         }
         return overflow ? 0 : byte;
     }
@@ -62,29 +69,65 @@ struct BitReader {
     const uint8_t* in;
     size_t len;
     size_t byte = 0;
-    uint32_t acc = 0;
+    uint64_t acc = 0;
     int nbits = 0;
     bool error = false;
 
-    uint32_t get(int n) {
-        while (nbits < n) {
-            if (byte >= len) { error = true; return 0; }
-            acc |= static_cast<uint32_t>(in[byte++]) << nbits;
+    inline void refill() {
+        if (byte + 8 <= len) {
+            // whole-word refill: OR 8 bytes at the current offset, advance
+            // only by the bytes that fit. Bits shifted past 64 are lost but
+            // re-ORed identically on the next refill (acc only ever shifts
+            // right, so its stale top bits always match the stream).
+            uint64_t w;
+            std::memcpy(&w, in + byte, 8);
+            acc |= w << nbits;
+            int take = (63 - nbits) >> 3;
+            byte += take;
+            nbits += take * 8;
+            return;
+        }
+        while (nbits <= 56 && byte < len) {
+            acc |= static_cast<uint64_t>(in[byte++]) << nbits;
             nbits += 8;
         }
-        uint32_t v = acc & ((n == 32) ? 0xffffffffu : ((1u << n) - 1u));
+    }
+    inline uint32_t get(int n) {
+        if (nbits < n) {
+            refill();
+            if (nbits < n) { error = true; return 0; }
+        }
+        uint32_t v = static_cast<uint32_t>(acc & ((n == 32) ? 0xffffffffu : ((1u << n) - 1u)));
         acc >>= n;
         nbits -= n;
         return v;
     }
-    uint32_t get_unary(uint32_t cap_q) {
+    inline uint32_t get_unary(uint32_t cap_q) {
         uint32_t q = 0;
-        while (q < cap_q) {
-            if (get(1)) q++;
-            else return q;
-            if (error) return 0;
+        for (;;) {
+            if (nbits == 0) {
+                refill();
+                if (nbits == 0) { error = true; return 0; }
+            }
+            uint64_t mask = (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1ull);
+            uint64_t inv = (~acc) & mask;  // zero-bit positions
+            int run = inv ? __builtin_ctzll(inv) : nbits;  // leading ones
+            if (q + static_cast<uint32_t>(run) >= cap_q) {
+                int used = static_cast<int>(cap_q - q);  // escape: cap ones, no terminator
+                acc >>= used;
+                nbits -= used;
+                return cap_q;
+            }
+            if (inv) {
+                acc >>= run;  // two shifts: run + 1 may be 64 (shift-width UB)
+                acc >>= 1;
+                nbits -= (run + 1);
+                return q + static_cast<uint32_t>(run);
+            }
+            q += static_cast<uint32_t>(run);  // buffer was all ones
+            acc = 0;
+            nbits = 0;
         }
-        return q;  // == cap_q -> escape marker (no trailing zero)
     }
 };
 
@@ -108,11 +151,11 @@ inline int pick_k(const uint32_t* u, int n) {
 
 inline void put_gamma(BitWriter& bw, uint32_t v) {
     // Elias gamma for v >= 1: (len-1) ones, a zero, then the low len-1 bits
+    // (v <= BLOCK+1 here, so 2*len-1 <= 21 bits -> single put)
     int len = 1;
     while ((v >> len) != 0) len++;
-    if (len > 1) bw.put((1u << (len - 1)) - 1u, len - 1);
-    bw.put(0, 1);
-    if (len > 1) bw.put(v & ((1u << (len - 1)) - 1u), len - 1);
+    uint32_t low = v & ((1u << (len - 1)) - 1u);
+    bw.put((low << len) | ((1u << (len - 1)) - 1u), 2 * len - 1);
 }
 
 inline uint32_t get_gamma(BitReader& br) {
@@ -126,15 +169,20 @@ inline uint32_t get_gamma(BitReader& br) {
 }
 
 template <int RAWBITS>
-void put_rice(BitWriter& bw, uint32_t u, int k) {
+inline void put_rice(BitWriter& bw, uint32_t u, int k) {
     uint32_t q = u >> k;
     if (q >= ESCAPE_Q) {
         bw.put((1u << ESCAPE_Q) - 1u, ESCAPE_Q);  // cap_q ones
         bw.put(u, RAWBITS + 1);                   // raw zigzag value
     } else {
-        if (q) bw.put((1u << q) - 1u, q);
-        bw.put(0, 1);
-        if (k) bw.put(u & ((1u << k) - 1u), k);
+        int n = static_cast<int>(q) + 1 + k;
+        uint32_t low = k ? (u & ((1u << k) - 1u)) : 0u;
+        if (n <= 32) {  // fuse ones + terminator + remainder into one put
+            bw.put(((low << q) << 1) | ((1u << q) - 1u), n);
+        } else {
+            if (q) bw.put((1u << q) - 1u, static_cast<int>(q));
+            bw.put(low << 1, k + 1);
+        }
     }
 }
 

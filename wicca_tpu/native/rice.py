@@ -78,12 +78,17 @@ def rice_encode(codes: np.ndarray) -> bytes:
         return b""
     if lib is not None:
         cap = flat.size * (4 if codes.dtype == np.int16 else 3) + 4096
-        out = ctypes.create_string_buffer(cap)
+        out = np.empty(cap, dtype=np.uint8)  # no zero-fill (create_string_buffer memsets)
         fn = lib.wicca_rice_encode_i8 if codes.dtype == np.int8 else lib.wicca_rice_encode_i16
-        n = fn(flat.ctypes.data_as(ctypes.c_char_p), flat.size, out, cap)
+        n = fn(
+            flat.ctypes.data_as(ctypes.c_char_p),
+            flat.size,
+            out.ctypes.data_as(ctypes.c_char_p),
+            cap,
+        )
         if n == 0:
             raise RuntimeError("rice encode overflow")
-        return out.raw[:n]
+        return out[:n].tobytes()
     # numpy fallback: varint-free simple scheme (zigzag + raw 16-bit) —
     # correctness-only path for environments without a compiler
     u = _zigzag(flat).astype(np.uint16)
