@@ -67,6 +67,13 @@ def main() -> int:
         f"{float(psnr(rec, x.astype(np.float32))):.2f} dB"
     )
 
+    # lossless: LeGall 5/3 (JPEG2000 reversible) + reversible color transform
+    ll_stream = encode(x, levels=5, wavelet="legall5.3", color="rct")
+    ll_bytes = save(ll_stream, str(out / "img_00_lossless.wct"))
+    ll_rec = np.asarray(decode(load(str(out / "img_00_lossless.wct")), emit_u8=True))
+    assert (ll_rec == x).all()
+    print(f"lossless 5/3+RCT: {x.size} B -> {ll_bytes} B ({x.size / ll_bytes:.2f}x), bit-exact")
+
     # --- harness ----------------------------------------------------------
     from wicca_tpu.analysis import compare_summaries, extract_from_comparison
     from wicca_tpu.config.constants import SIM_CLASSES_PERC

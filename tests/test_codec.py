@@ -335,3 +335,13 @@ def test_color_progressive_and_icon():
     # icon is an approximate RGB rendering of the coarse band
     ref_icon = np.asarray(icon_from_stream(encode(x, levels=3, wavelet="legall5.3")))
     assert np.abs(ic.astype(int) - ref_icon.astype(int)).mean() < 4.0
+
+
+def test_rd_point_with_ict_color():
+    from wicca_tpu.codec.rd import rd_point
+
+    x = _photo_like(seed=16)
+    plain = rd_point(x, 2.0, levels=3, actual_bytes=True)
+    ict = rd_point(x, 2.0, levels=3, actual_bytes=True, color="ict", chroma_gain=2.0)
+    # decorrelation + coarse chroma: fewer bits on correlated content
+    assert ict["bpp_actual"] < plain["bpp_actual"]

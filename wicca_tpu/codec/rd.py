@@ -17,10 +17,14 @@ from wicca_tpu.core.metrics import psnr, ssim
 from wicca_tpu.core.quant import QuantSpec
 
 
-def rd_point(image, step: float, levels: int = 5, wavelet: str = "haar", actual_bytes: bool = False) -> dict:
-    """One operating point: encode at ``step``, measure rate and distortion."""
+def rd_point(image, step: float, levels: int = 5, wavelet: str = "haar", actual_bytes: bool = False,
+             color: str = "none", chroma_gain: float = 1.0) -> dict:
+    """One operating point: encode at ``step``, measure rate and distortion
+    (``color='ict'`` + ``chroma_gain`` move points toward the perceptual
+    allocation: fewer chroma bits at nearly the same luma PSNR)."""
     x = np.asarray(image)
-    stream = encode(x, levels=levels, spec=QuantSpec(base_step=step), wavelet=wavelet)
+    stream = encode(x, levels=levels, spec=QuantSpec(base_step=step), wavelet=wavelet,
+                    color=color, chroma_gain=chroma_gain)
     rec = np.asarray(decode(stream))
     n_px = x.shape[-2] * x.shape[-1] * (x.size // (x.shape[-2] * x.shape[-1]))
     point = {
@@ -34,10 +38,11 @@ def rd_point(image, step: float, levels: int = 5, wavelet: str = "haar", actual_
     return point
 
 
-def rd_curve(image, steps=(0.5, 1.0, 2.0, 4.0, 8.0), levels: int = 5, wavelet: str = "haar", actual_bytes: bool = False) -> list[dict]:
+def rd_curve(image, steps=(0.5, 1.0, 2.0, 4.0, 8.0), levels: int = 5, wavelet: str = "haar", actual_bytes: bool = False,
+             color: str = "none", chroma_gain: float = 1.0) -> list[dict]:
     """R-D sweep over quantization steps (coarser step -> fewer bits, lower
     PSNR). Points come back in the given step order."""
-    return [rd_point(image, s, levels, wavelet, actual_bytes) for s in steps]
+    return [rd_point(image, s, levels, wavelet, actual_bytes, color, chroma_gain) for s in steps]
 
 
 def plot_rd_curve(points: list[dict], title: str = "Rate-distortion"):
