@@ -345,3 +345,20 @@ def test_rd_point_with_ict_color():
     ict = rd_point(x, 2.0, levels=3, actual_bytes=True, color="ict", chroma_gain=2.0)
     # decorrelation + coarse chroma: fewer bits on correlated content
     assert ict["bpp_actual"] < plain["bpp_actual"]
+
+
+@pytest.mark.slow
+def test_bior44_pallas_multitile():
+    """Multi-tile 9/7 Pallas streams: roundtrip quality and progressive
+    levels consistent with the encoder's own intermediates."""
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = _img((1, 1024, 2048), seed=23)
+    st = encode(x, levels=5, spec=QuantSpec(base_step=1.0), wavelet="bior4.4")
+    rec = np.asarray(decode(st))
+    assert float(psnr(rec, x.astype(np.float32))) > 35.0
+    got = np.asarray(decode_at_level(st, 2))
+    want = np.asarray(encode(x, levels=2, spec=QuantSpec(base_step=1.0), wavelet="bior4.4").ll)
+    # same tile grid + same levels; only the quantization of levels 1-2
+    # differs (absent in the partial decode input), so LLs agree closely
+    assert np.abs(got - want[:, : got.shape[-2], : got.shape[-1]]).max() < 8.0

@@ -136,6 +136,18 @@ def encode(
             ll, dets = dwt_multilevel_quant_pallas(ll, steps)
             details.extend(dets)
             lvl += k
+    elif wavelet in ("bior4.4", "cdf97"):
+        # fused tile-local 9/7 passes (wicca_tpu.ops.dwt97_pallas)
+        from wicca_tpu.ops.dwt97_pallas import dwt97_multilevel_quant_pallas
+
+        ll = x
+        lvl = 0
+        while lvl < levels:
+            k = min(3, levels - lvl)
+            steps = tuple(spec.detail_step(lvl + i + 1) for i in range(k))
+            ll, dets = dwt97_multilevel_quant_pallas(ll, steps)
+            details.extend(dets)
+            lvl += k
     else:
         x = x.astype(jnp.float32)
         from wicca_tpu.core.lifting import dwt2_level_lifting
@@ -190,6 +202,24 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             lh, hl, hh = (b.astype(jnp.int32) for b in stream.details[lvl - 1])
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
+        return _finish_decode(stream, x, emit_u8)
+    if stream.wavelet in ("bior4.4", "cdf97"):
+        from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
+
+        sizes = []
+        lvl = 0
+        while lvl < stream.levels:
+            sizes.append(min(3, stream.levels - lvl))
+            lvl += sizes[-1]
+        hi = stream.levels
+        for k in reversed(sizes):
+            lo = hi - k
+            dets = [stream.details[i] for i in range(lo, hi)]
+            steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
+            ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
+            x = x[..., :ch, :cw]
+            x = idwt97_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0)
+            hi = lo
         return _finish_decode(stream, x, emit_u8)
     if stream.wavelet == "haar":
         # mirror the encoder's pass partition (fine-side groups of <=3)
@@ -340,6 +370,31 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             lh, hl, hh = (b.astype(jnp.int32) for b in stream.details[lvl - 1])
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
+        x = _undo_color(stream, x)
+        x = unpad(x, out_h, out_w)
+        if emit_u8:
+            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+        return x
+    if stream.wavelet in ("bior4.4", "cdf97"):
+        from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
+
+        x = stream.ll
+        sizes = []
+        lvl = 0
+        while lvl < stream.levels:
+            sizes.append(min(3, stream.levels - lvl))
+            lvl += sizes[-1]
+        hi = stream.levels
+        for k in reversed(sizes):
+            lo = hi - k
+            if hi <= target_level:
+                break
+            use = [stream.details[i] for i in range(max(lo, target_level), hi)]
+            steps = tuple(stream.spec.detail_step(i + 1) for i in range(max(lo, target_level), hi))
+            ch, cw = use[-1][0].shape[-2], use[-1][0].shape[-1]
+            x = x[..., :ch, :cw]
+            x = idwt97_multilevel_dequant_pallas(x, use, steps, orig_k=k)
+            hi = max(lo, target_level)
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
