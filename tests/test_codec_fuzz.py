@@ -17,16 +17,24 @@ def test_fuzz_roundtrip(seed):
     w = int(rng.integers(33, 200))
     levels = int(rng.integers(1, 6))
     step = float(rng.choice([0.25, 0.7, 1.0, 3.0]))
-    wavelet = str(rng.choice(["haar", "haar", "db2", "bior4.4"]))
+    wavelet = str(rng.choice(["haar", "haar", "db2", "bior4.4", "legall5.3"]))
+    color = "none"
+    if c == 3 and rng.random() < 0.5:
+        color = "rct" if wavelet == "legall5.3" else ("ict" if wavelet != "haar_int" else "none")
     x = rng.integers(0, 256, (c, h, w), np.uint8)
 
-    stream = encode(x, levels=levels, spec=QuantSpec(base_step=step), wavelet=wavelet)
+    stream = encode(x, levels=levels, spec=QuantSpec(base_step=step), wavelet=wavelet, color=color)
     rec = np.asarray(decode(stream))
-    assert rec.shape == x.shape, (c, h, w, levels, step, wavelet)
-    p = float(psnr(rec, x.astype(np.float32)))
-    assert p > 28.0, (c, h, w, levels, step, wavelet, p)
+    assert rec.shape == x.shape, (c, h, w, levels, step, wavelet, color)
+    if wavelet == "legall5.3":
+        np.testing.assert_array_equal(
+            np.asarray(decode(stream, emit_u8=True)), x, err_msg=str((c, h, w, levels, color))
+        )
+    else:
+        p = float(psnr(rec, x.astype(np.float32)))
+        assert p > 26.0, (c, h, w, levels, step, wavelet, color, p)
 
     blob = serialize(stream)
     loaded = deserialize(blob)
     rec2 = np.asarray(decode(loaded))
-    np.testing.assert_array_equal(rec2, rec, err_msg=str((c, h, w, levels, step, wavelet)))
+    np.testing.assert_array_equal(rec2, rec, err_msg=str((c, h, w, levels, step, wavelet, color)))
