@@ -71,10 +71,11 @@ def encode(
 ) -> CodeStream:
     """Planar ``(..., H, W)`` uint8/float -> CodeStream.
 
-    ``wavelet='haar'`` uses the fused Pallas DWT+quantize kernel; the float
-    lifting wavelets (db2 / bior4.4, :mod:`wicca_tpu.core.lifting`) run as
-    XLA-fused jnp with the same deadzone quantization (their detail dynamic
-    range is wider, so codes are int16). Integer wavelets ('legall5.3' — the
+    ``wavelet='haar'`` uses the fused Pallas DWT+quantize kernel; db2 and
+    bior4.4/cdf97 run as fused tile-local Pallas lifting passes
+    (:mod:`wicca_tpu.ops.dwt97_pallas`; their detail dynamic range is wider
+    than Haar's, so codes are int16); user-registered wavelets fall back to
+    XLA-fused jnp lifting. Integer wavelets ('legall5.3' — the
     JPEG2000 reversible filter — or 'haar_int') produce a LOSSLESS stream:
     ``spec`` is ignored, detail codes are exact int16, and ``decode`` returns
     the input bit-exactly.
@@ -136,16 +137,17 @@ def encode(
             ll, dets = dwt_multilevel_quant_pallas(ll, steps)
             details.extend(dets)
             lvl += k
-    elif wavelet in ("bior4.4", "cdf97"):
-        # fused tile-local 9/7 passes (wicca_tpu.ops.dwt97_pallas)
+    elif wavelet in ("bior4.4", "cdf97", "db2"):
+        # fused tile-local float-lifting passes (wicca_tpu.ops.dwt97_pallas)
         from wicca_tpu.ops.dwt97_pallas import dwt97_multilevel_quant_pallas
 
+        filt = "db2" if wavelet == "db2" else "cdf97"
         ll = x
         lvl = 0
         while lvl < levels:
             k = min(3, levels - lvl)
             steps = tuple(spec.detail_step(lvl + i + 1) for i in range(k))
-            ll, dets = dwt97_multilevel_quant_pallas(ll, steps)
+            ll, dets = dwt97_multilevel_quant_pallas(ll, steps, filt=filt)
             details.extend(dets)
             lvl += k
     else:
@@ -203,9 +205,10 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
         return _finish_decode(stream, x, emit_u8)
-    if stream.wavelet in ("bior4.4", "cdf97"):
+    if stream.wavelet in ("bior4.4", "cdf97", "db2"):
         from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
 
+        filt = "db2" if stream.wavelet == "db2" else "cdf97"
         sizes = []
         lvl = 0
         while lvl < stream.levels:
@@ -218,7 +221,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
             ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
             x = x[..., :ch, :cw]
-            x = idwt97_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0)
+            x = idwt97_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0, filt=filt)
             hi = lo
         return _finish_decode(stream, x, emit_u8)
     if stream.wavelet == "haar":
@@ -375,9 +378,10 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         if emit_u8:
             x = jnp.clip(x, 0, 255).astype(jnp.uint8)
         return x
-    if stream.wavelet in ("bior4.4", "cdf97"):
+    if stream.wavelet in ("bior4.4", "cdf97", "db2"):
         from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
 
+        filt = "db2" if stream.wavelet == "db2" else "cdf97"
         x = stream.ll
         sizes = []
         lvl = 0
@@ -393,7 +397,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             steps = tuple(stream.spec.detail_step(i + 1) for i in range(max(lo, target_level), hi))
             ch, cw = use[-1][0].shape[-2], use[-1][0].shape[-1]
             x = x[..., :ch, :cw]
-            x = idwt97_multilevel_dequant_pallas(x, use, steps, orig_k=k)
+            x = idwt97_multilevel_dequant_pallas(x, use, steps, orig_k=k, filt=filt)
             hi = max(lo, target_level)
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)

@@ -80,28 +80,68 @@ def _unlift97_rows(s, d):
     return _row_interleave(s, o)
 
 
-def _level97_fwd(x):
-    """One 2-D 9/7 level, horizontal then vertical (core-path order)."""
-    s_t, d_t = _lift97_rows(x.T)
-    ll, hl = _lift97_rows(s_t.T)
-    lh, hh = _lift97_rows(d_t.T)
+def _lift_db2_rows(x):
+    """Forward db2 (D4) lifting over row pairs — the Daubechies-Sweldens
+    factorization used by core db2_fwd1d, DC-gain-1 normalization."""
+    import math
+
+    sq3 = math.sqrt(3.0)
+    h, w = x.shape
+    hh = h // 2
+    r = x.reshape(hh, 2, w)
+    e, o = r[:, 0, :], r[:, 1, :]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hh, w), 0)
+    s1 = e + jnp.float32(sq3) * o
+    d1 = o - jnp.float32(sq3 / 4.0) * s1 - jnp.float32((sq3 - 2.0) / 4.0) * _prev(s1, ri, hh)
+    s2 = s1 - _next(d1, ri, hh)
+    from wicca_tpu.core.lifting import _D4_SCALE_D, _D4_SCALE_S
+
+    return s2 * jnp.float32(_D4_SCALE_S), d1 * jnp.float32(_D4_SCALE_D)
+
+
+def _unlift_db2_rows(s, d):
+    import math
+
+    sq3 = math.sqrt(3.0)
+    from wicca_tpu.core.lifting import _D4_SCALE_D, _D4_SCALE_S
+
+    hh, w = s.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (hh, w), 0)
+    s2 = s * jnp.float32(1.0 / _D4_SCALE_S)
+    d1 = d * jnp.float32(1.0 / _D4_SCALE_D)
+    s1 = s2 + _next(d1, ri, hh)
+    o = d1 + jnp.float32(sq3 / 4.0) * s1 + jnp.float32((sq3 - 2.0) / 4.0) * _prev(s1, ri, hh)
+    e = s1 - jnp.float32(sq3) * o
+    return _row_interleave(e, o)
+
+
+_ROW_LIFTS = {"cdf97": (_lift97_rows, _unlift97_rows), "db2": (_lift_db2_rows, _unlift_db2_rows)}
+
+
+def _level97_fwd(x, filt: str = "cdf97"):
+    """One 2-D lifting level, horizontal then vertical (core-path order)."""
+    lift = _ROW_LIFTS[filt][0]
+    s_t, d_t = lift(x.T)
+    ll, hl = lift(s_t.T)
+    lh, hh = lift(d_t.T)
     return ll, lh, hl, hh
 
 
-def _level97_inv(ll, lh, hl, hh):
-    lo = _unlift97_rows(ll, hl)
-    hi = _unlift97_rows(lh, hh)
-    return _unlift97_rows(lo.T, hi.T).T
+def _level97_inv(ll, lh, hl, hh, filt: str = "cdf97"):
+    unlift = _ROW_LIFTS[filt][1]
+    lo = unlift(ll, hl)
+    hi = unlift(lh, hh)
+    return unlift(lo.T, hi.T).T
 
 
-def _dwt97_kernel(x_ref, *out_refs, k: int, steps, from_u8: bool):
+def _dwt97_kernel(x_ref, *out_refs, k: int, steps, from_u8: bool, filt: str):
     ll_ref = out_refs[-1]
     if from_u8:
         x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # u8->f32 ladder
     else:
         x = x_ref[0]
     for lvl in range(1, k + 1):
-        x, lh, hl, hh = _level97_fwd(x)
+        x, lh, hl, hh = _level97_fwd(x, filt)
         base = (lvl - 1) * 3
         for slot, band in ((0, lh), (1, hl), (2, hh)):
             out_refs[base + slot][0] = _quant_band(
@@ -110,11 +150,12 @@ def _dwt97_kernel(x_ref, *out_refs, k: int, steps, from_u8: bool):
     ll_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("steps",))
-def dwt97_multilevel_quant_pallas(x: jax.Array, steps: tuple):
-    """Up to 3 fused tile-local 9/7 levels + deadzone quantization in one
-    HBM pass. ``x``: planar ``(..., H, W)`` uint8 or float32, dims divisible
-    by ``2**len(steps)``. Returns ``(ll_f32, [(lh, hl, hh) int16, ...])``."""
+@functools.partial(jax.jit, static_argnames=("steps", "filt"))
+def dwt97_multilevel_quant_pallas(x: jax.Array, steps: tuple, filt: str = "cdf97"):
+    """Up to 3 fused tile-local lifting levels (``filt``: 'cdf97' or 'db2')
+    + deadzone quantization in one HBM pass. ``x``: planar ``(..., H, W)``
+    uint8 or float32, dims divisible by ``2**len(steps)``.
+    Returns ``(ll_f32, [(lh, hl, hh) int16, ...])``."""
     k = len(steps)
     if not 1 <= k <= 3:
         raise ValueError("1..3 levels per pass")
@@ -143,7 +184,7 @@ def dwt97_multilevel_quant_pallas(x: jax.Array, steps: tuple):
         pl.BlockSpec((1, th // unit, tw // unit), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)
     )
     outs = pl.pallas_call(
-        functools.partial(_dwt97_kernel, k=k, steps=steps, from_u8=from_u8),
+        functools.partial(_dwt97_kernel, k=k, steps=steps, from_u8=from_u8, filt=filt),
         out_shape=tuple(out_shapes),
         grid=(c, hp // th, wp // tw),
         in_specs=[pl.BlockSpec((1, th, tw), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)],
@@ -155,7 +196,7 @@ def dwt97_multilevel_quant_pallas(x: jax.Array, steps: tuple):
     return ll, details
 
 
-def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool):
+def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool, filt: str):
     out_ref = refs[-1]
     x = refs[0][0].astype(jnp.float32)
     for idx in range(k):
@@ -167,15 +208,15 @@ def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool):
             qv = r[0].astype(jnp.float32)
             return (qv + 0.5 * jnp.sign(qv)) * step
 
-        x = _level97_inv(x, deq(refs[base]), deq(refs[base + 1]), deq(refs[base + 2]))
+        x = _level97_inv(x, deq(refs[base]), deq(refs[base + 1]), deq(refs[base + 2]), filt)
     if emit_u8:
         out_ref[0] = jnp.clip(x, 0, 255).astype(jnp.int32).astype(jnp.uint8)
     else:
         out_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "emit_u8", "orig_k"))
-def idwt97_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8: bool = False, orig_k: int | None = None):
+@functools.partial(jax.jit, static_argnames=("steps", "emit_u8", "orig_k", "filt"))
+def idwt97_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8: bool = False, orig_k: int | None = None, filt: str = "cdf97"):
     """Fused dequantize + inverse of :func:`dwt97_multilevel_quant_pallas`
     (one HBM pass). ``orig_k`` aligns a PARTIAL pass's tile clamps with the
     encoder grid (see the 5/3 kernel docs)."""
@@ -218,7 +259,7 @@ def idwt97_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_
             )
     out_dt = jnp.uint8 if emit_u8 else jnp.float32
     out = pl.pallas_call(
-        functools.partial(_idwt97_kernel, k=k, steps=steps, emit_u8=emit_u8),
+        functools.partial(_idwt97_kernel, k=k, steps=steps, emit_u8=emit_u8, filt=filt),
         out_shape=jax.ShapeDtypeStruct((c, chp * unit, cwp * unit), out_dt),
         grid=(c, chp // th_c, cwp // tw_c),
         in_specs=in_specs,
