@@ -191,3 +191,29 @@ def test_reconstruction_compare_mode(data_folder, classifiers, tmp_path):
             data_folder, transform_depth=1, interpolation=3, top_classes=3,
             results_folder=tmp_path / "res_bad", log_info=False, compare="nope",
         )
+
+
+def test_reconstruction_compare_lossless_rct(data_folder, classifiers, tmp_path):
+    """reconstruction mode with the lossless 5/3 + RCT codec: the roundtrip
+    is bit-exact, so source and 'icon' predictions must agree perfectly."""
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=2,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "res_ll",
+        log_info=False,
+        compare="reconstruction",
+        codec_wavelet="legall5.3",
+        codec_color="rct",
+    )
+    out = proc.process_classifiers(classifiers)
+    _, sum_df = out["tiny"]
+    assert sum_df.loc["mean", SIM_BEST_CLASS] == 100.0
+
+    with pytest.raises(ValueError):
+        ClassifierProcessor(
+            data_folder, transform_depth=1, interpolation=3, top_classes=3,
+            results_folder=tmp_path / "res_bad2", log_info=False,
+            compare="reconstruction", codec_wavelet="haar", codec_color="rct",
+        )

@@ -38,6 +38,8 @@ def _cmd_analyze(args) -> int:
         resume=args.resume,
         compare=args.compare,
         codec_spec=None if args.compare == "icon" else QuantSpec(base_step=args.step),
+        codec_wavelet=args.codec_wavelet,
+        codec_color=args.codec_color,
     )
     proc.process_classifiers(classifiers, timeout=args.timeout)
     return 0
@@ -142,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--compare", default="icon", choices=["icon", "reconstruction"],
                    help="compare source vs LL icon (reference semantics) or vs the quantized codec roundtrip")
     a.add_argument("--step", type=float, default=1.0, help="codec quantization step for --compare reconstruction")
+    a.add_argument("--codec-wavelet", default="haar",
+                   choices=["haar", "db2", "bior4.4", "legall5.3"],
+                   help="wavelet for --compare reconstruction")
+    a.add_argument("--codec-color", default="none", choices=["none", "rct", "ict"],
+                   help="color transform for --compare reconstruction")
     a.add_argument("--quiet", action="store_true")
     a.set_defaults(fn=_cmd_analyze)
 

@@ -124,6 +124,8 @@ class ClassifierProcessor:
         resume: bool = False,
         compare: str = "icon",
         codec_spec=None,
+        codec_wavelet: str = "haar",
+        codec_color: str = "none",
     ):
         self.path = validate_input_folder(data_folder)
         self.coder = wavelet_coder  # optional custom coder: get_small_copy(img, depth)
@@ -149,6 +151,17 @@ class ClassifierProcessor:
             raise ValueError("compare must be 'icon' or 'reconstruction'")
         self.compare = compare
         self.codec_spec = codec_spec
+        # reconstruction-mode codec knobs: any built-in wavelet (all Pallas-
+        # fused) and optional color decorrelation (core.color)
+        if compare == "reconstruction":
+            from wicca_tpu.core.lifting import is_integer_wavelet
+
+            if codec_color == "rct" and not is_integer_wavelet(codec_wavelet):
+                raise ValueError("codec_color='rct' needs an integer wavelet (legall5.3)")
+            if codec_color == "ict" and is_integer_wavelet(codec_wavelet):
+                raise ValueError("codec_color='ict' needs a float wavelet")
+        self.codec_wavelet = codec_wavelet
+        self.codec_color = codec_color
         if log_info:
             self._log_init_info()
 
@@ -190,7 +203,13 @@ class ClassifierProcessor:
 
         spec = self.codec_spec or QuantSpec()
         planar = to_planar(image_hwc)
-        rec = np.asarray(decode(encode(planar, levels=depth, spec=spec), emit_u8=True))
+        color = self.codec_color if planar.ndim == 3 and planar.shape[0] == 3 else "none"
+        rec = np.asarray(
+            decode(
+                encode(planar, levels=depth, spec=spec, wavelet=self.codec_wavelet, color=color),
+                emit_u8=True,
+            )
+        )
         return from_planar(rec)
 
     def _icon(self, image_hwc: np.ndarray, depth: int) -> np.ndarray:
