@@ -32,7 +32,10 @@ def test_fuzz_roundtrip(seed):
         )
     else:
         p = float(psnr(rec, x.astype(np.float32)))
-        assert p > 26.0, (c, h, w, levels, step, wavelet, color, p)
+        # ICT chroma subsampling-by-quantization legitimately costs a couple
+        # of dB on random noise; keep the strict floor for pure-luma runs
+        floor = 28.0 if color == "none" else 26.0
+        assert p > floor, (c, h, w, levels, step, wavelet, color, p)
 
     blob = serialize(stream)
     loaded = deserialize(blob)

@@ -1,0 +1,115 @@
+"""Container back-compat: WCT1/WCT2 streams must keep decoding with the
+transform geometry of their era (ADVICE r1: v1 wide-wavelet streams were
+encoded with the *global* lifting transform; routing them through today's
+tile-local Pallas inverse mis-decodes at every (512,1024) tile seam)."""
+
+import struct
+
+import jax.numpy as jnp
+import numpy as np
+
+from wicca_tpu.codec import decode, deserialize, encode, serialize
+from wicca_tpu.codec.container import _MAGIC, _MAGIC_V1, _MAGIC_V2, _WAVELETS
+from wicca_tpu.codec.pipeline import CodeStream
+from wicca_tpu.core.lifting import dwt2_level_lifting
+from wicca_tpu.core.metrics import psnr
+from wicca_tpu.core.pad import pad_to_multiple
+from wicca_tpu.core.quant import QuantSpec, quantize_deadzone
+from wicca_tpu.native.rice import rice_encode
+
+
+def _global_float_stream(img, levels, wavelet, spec):
+    """Rebuild the WCT1-era encoder path: whole-image XLA lifting + deadzone
+    int16 codes (the pipeline's pre-Pallas fallback for wide wavelets)."""
+    x = pad_to_multiple(img, 1 << levels, mode="replicate").astype(jnp.float32)
+    ll = x
+    details = []
+    for lvl in range(1, levels + 1):
+        ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
+        step = spec.detail_step(lvl)
+        details.append(tuple(quantize_deadzone(b, step, jnp.int16) for b in (lh, hl, hh)))
+    return CodeStream(
+        ll=ll, details=tuple(details), spec=spec, levels=levels,
+        orig_shape=(img.shape[-2], img.shape[-1]), wavelet=wavelet, layout="global",
+    )
+
+
+def _serialize_v1(stream):
+    """Emit the WCT1 wire format (no color fields, no layout byte)."""
+    ll = np.asarray(stream.ll, dtype=np.float32)
+    lead = ll.shape[0] if ll.ndim == 3 else 1
+    out = bytearray()
+    out += _MAGIC_V1
+    out += struct.pack(
+        "<BBBIIffII",
+        _WAVELETS[stream.wavelet], stream.levels, lead,
+        stream.orig_shape[0], stream.orig_shape[1],
+        stream.spec.base_step, stream.spec.level_gain,
+        ll.shape[-2], ll.shape[-1],
+    )
+    out += ll.tobytes()
+    for bands in stream.details:
+        for b in bands:
+            plane = np.asarray(b)
+            assert plane.dtype == np.int16
+            data = rice_encode(plane)
+            out += struct.pack("<BIII", 1, plane.shape[-2], plane.shape[-1], len(data))
+            out += data
+    return bytes(out)
+
+
+def test_v1_global_db2_stream_decodes_with_global_inverse():
+    # H=1024 spans two (512,1024) row tiles: the tiled inverse would be wrong
+    # by ~150 gray levels around the seam (ADVICE r1, verified empirically)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (1, 1024, 64), np.uint8)
+    spec = QuantSpec(base_step=1.0)
+    stream = _global_float_stream(img, levels=3, wavelet="db2", spec=spec)
+    loaded = deserialize(_serialize_v1(stream))
+    assert loaded.wavelet == "db2" and loaded.layout == "global"
+    rec = np.asarray(decode(loaded))
+    # whole image reconstructs cleanly — no tile-seam band
+    assert float(psnr(rec, img.astype(np.float32))) > 40.0
+    seam = rec[:, 500:524, :]
+    assert np.abs(seam - img[:, 500:524, :].astype(np.float32)).max() < 8.0
+    # and byte-identical to decoding the in-memory global stream directly
+    np.testing.assert_array_equal(rec, np.asarray(decode(stream)))
+
+
+def test_wct3_layout_byte_roundtrip():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (1, 96, 96), np.uint8)
+    spec = QuantSpec(base_step=1.0)
+    g = _global_float_stream(img, levels=2, wavelet="bior4.4", spec=spec)
+    blob = serialize(g)
+    assert blob[:4] == _MAGIC
+    back = deserialize(blob)
+    assert back.layout == "global"
+    np.testing.assert_array_equal(np.asarray(decode(back)), np.asarray(decode(g)))
+
+    t = encode(img, levels=2, spec=spec, wavelet="bior4.4")
+    assert t.layout == "tiled"
+    assert deserialize(serialize(t)).layout == "tiled"
+
+
+def test_wct2_streams_read_as_tiled():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (1, 80, 80), np.uint8)
+    stream = encode(img, levels=2, wavelet="db2")
+    blob = bytearray(serialize(stream))
+    # WCT2 = WCT3 minus the layout byte after the color fields
+    layout_off = 4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf")
+    v2 = bytes(blob[:4].replace(_MAGIC, _MAGIC_V2)) + bytes(blob[4:layout_off]) + bytes(blob[layout_off + 1 :])
+    back = deserialize(v2)
+    assert back.layout == "tiled"
+    np.testing.assert_array_equal(np.asarray(decode(back)), np.asarray(decode(stream)))
+
+
+def test_cdf53_alias_is_name_stable():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (3, 70, 70), np.uint8)
+    stream = encode(img, levels=2, wavelet="cdf53")
+    assert stream.wavelet == "legall5.3"
+    back = deserialize(serialize(stream))
+    assert back.wavelet == stream.wavelet
+    np.testing.assert_array_equal(np.asarray(decode(back, emit_u8=True)), img)

@@ -49,3 +49,25 @@ def test_all_zero_plane_tiny():
     np.testing.assert_array_equal(rice_decode(data, 4096, np.int8), codes)
     if native_available():
         assert len(data) < 64  # zero-run mode: ~25 bits per 512-block
+
+
+def test_bitstream_golden_fixture():
+    """The Rice BITSTREAM format is frozen (CLAUDE.md invariant): old .wct
+    files must keep decoding. These bytes were produced by the shipped r1
+    coder — any encoder change that alters them needs a NEW codec id, not an
+    in-place format edit (ADVICE r1)."""
+    if not native_available():
+        pytest.skip("numpy fallback uses its own RAW0 framing")
+    i8 = np.array(
+        [0, 0, 0, 1, -1, 2, -2, 127, -128, 0, 0, 5, -7, 0, 33, -33, 0, 0, 0, 0, 1, 0, -1, 0],
+        np.int8,
+    ).reshape(2, 12)
+    i16 = np.array(
+        [0, 0, 1, -1, 256, -256, 32767, -32768, 0, 3, -3, 1000, -1000, 0, 0, 7], np.int16
+    ).reshape(2, 8)
+    golden_i8 = bytes.fromhex("0800800864fefffcffef01a01a3c79010000040800")
+    golden_i16 = bytes.fromhex("1a0000001000020000e13ffcf9ffbfff0f0030000a00e8e3f9000000000700")
+    assert rice_encode(i8) == golden_i8
+    assert rice_encode(i16) == golden_i16
+    np.testing.assert_array_equal(rice_decode(golden_i8, i8.size, np.int8).reshape(i8.shape), i8)
+    np.testing.assert_array_equal(rice_decode(golden_i16, i16.size, np.int16).reshape(i16.shape), i16)

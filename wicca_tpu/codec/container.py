@@ -1,14 +1,24 @@
 """On-disk container for encoded images (.wct — "wicca-tpu codestream").
 
 Layout (little-endian):
-  magic b'WCT2' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
+  magic b'WCT3' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
   f32 base_step | f32 level_gain | u32 ll_h | u32 ll_w |
   u8 color (0 none / 1 rct / 2 ict) | f32 chroma_gain |
+  u8 layout (0 global / 1 tiled) |
   raw LL plane (float32; int32 for integer/lossless wavelets — same stride,
   dtype implied by the wavelet id) |
   per level (fine->coarse), per band (lh,hl,hh):
     u8 dtype_code (0=int8,1=int16) | u32 sub_h | u32 sub_w | u32 nbytes |
     Rice bitstream (wicca_tpu.native.rice)
+
+Older magics stay readable:
+  WCT2 — no layout byte. Wide-wavelet streams decode tile-local (the fused
+         Pallas kernels were the encoder for every shipped WCT2 stream).
+  WCT1 — additionally no color fields. db2/bior4.4/cdf97 WCT1 streams were
+         encoded by the *global* XLA lifting transform (the tile-local
+         kernels postdate the format), so they map to layout='global' —
+         routing them through the tiled inverse would mis-decode images
+         larger than one (512,1024) tile at every tile seam.
 
 The entropy stage runs plane-parallel on host threads (ctypes releases the
 GIL). Decoding reproduces the CodeStream bit-exactly, so container roundtrip
@@ -26,10 +36,16 @@ from wicca_tpu.codec.pipeline import CodeStream
 from wicca_tpu.core.quant import QuantSpec
 from wicca_tpu.native.rice import rice_decode, rice_encode
 
-_MAGIC = b"WCT2"
-_MAGIC_V1 = b"WCT1"  # still readable: no color fields, ll dtype by wavelet
+_MAGIC = b"WCT3"
+_MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
+_MAGIC_V1 = b"WCT1"  # still readable: no color fields; wide streams GLOBAL
 _COLORS = {"none": 0, "rct": 1, "ict": 2}
 _COLORS_INV = {v: k for k, v in _COLORS.items()}
+_LAYOUTS = {"global": 0, "tiled": 1}
+_LAYOUTS_INV = {v: k for k, v in _LAYOUTS.items()}
+# WCT1-era wide float wavelets were encoded with the whole-image lifting
+# transform (wicca_tpu.core.lifting), not the tile-local Pallas kernels
+_V1_GLOBAL_WAVELET_IDS = {1, 2, 3}  # db2, bior4.4, cdf97
 _DTYPES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1}
 _DTYPES_INV = {0: np.int8, 1: np.int16}
 _WAVELETS = {"haar": 0, "db2": 1, "bior4.4": 2, "cdf97": 3, "haar_int": 4, "legall5.3": 5, "cdf53": 5}
@@ -62,6 +78,7 @@ def serialize(stream: CodeStream, threads: int = 8) -> bytes:
         ll.shape[-1],
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
+    out += struct.pack("<B", _LAYOUTS[stream.layout])
     out += ll.tobytes()
     for plane, data in zip(planes, encoded):
         out += struct.pack("<BIII", _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data))
@@ -71,17 +88,25 @@ def serialize(stream: CodeStream, threads: int = 8) -> bytes:
 
 def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     """Container bytes -> CodeStream (planes decoded in parallel)."""
-    if data[:4] not in (_MAGIC, _MAGIC_V1):
+    if data[:4] not in (_MAGIC, _MAGIC_V2, _MAGIC_V1):
         raise ValueError("not a WCT container")
-    v1 = data[:4] == _MAGIC_V1
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC: 3}[data[:4]]
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
-    if v1:
+    if version == 1:
         color, chroma_gain = 0, 1.0
     else:
         color, chroma_gain = struct.unpack_from("<Bf", data, off)
         off += struct.calcsize("<Bf")
+    if version >= 3:
+        (layout_code,) = struct.unpack_from("<B", data, off)
+        off += 1
+        layout = _LAYOUTS_INV[layout_code]
+    elif version == 1 and wv in _V1_GLOBAL_WAVELET_IDS:
+        layout = "global"
+    else:
+        layout = "tiled"
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
@@ -106,6 +131,7 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     return CodeStream(
         ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
         wavelet=_WAVELETS_INV[wv], color=_COLORS_INV[color], chroma_gain=float(chroma_gain),
+        layout=layout,
     )
 
 

@@ -30,7 +30,7 @@ from wicca_tpu.ops.dwt_pallas import (
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ll", "details"],
-    meta_fields=["spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain"],
+    meta_fields=["spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain", "layout"],
 )
 @dataclasses.dataclass(frozen=True)
 class CodeStream:
@@ -39,7 +39,11 @@ class CodeStream:
     (int32 for integer/lossless wavelets). ``color`` records a channel
     decorrelation applied before the transform ('rct' reversible / 'ict'
     BT.601, :mod:`wicca_tpu.core.color`); ``chroma_gain`` > 1 quantizes ICT
-    chroma planes that much coarser."""
+    chroma planes that much coarser. ``layout`` records the transform
+    geometry for wide wavelets: 'tiled' = JPEG2000-style independent
+    (512,1024) tiles (the fused Pallas kernels), 'global' = whole-image
+    lifting (:mod:`wicca_tpu.core.lifting`). The two disagree at tile
+    boundaries, so decode must invert with the encoder's geometry."""
 
     ll: jax.Array
     details: tuple[tuple[jax.Array, jax.Array, jax.Array], ...]
@@ -49,6 +53,7 @@ class CodeStream:
     wavelet: str = "haar"
     color: str = "none"
     chroma_gain: float = 1.0
+    layout: str = "tiled"
 
     def num_bytes(self) -> int:
         n = self.ll.size * self.ll.dtype.itemsize
@@ -93,6 +98,10 @@ def encode(
         raise ValueError("rct is reversible — pair it with an integer wavelet")
     if color == "ict" and _is_int_wavelet(wavelet):
         raise ValueError("ict is lossy — pair it with a float wavelet")
+    # store the canonical name so serialize/load is name-stable (the 'cdf53'
+    # alias shares container id 5 with 'legall5.3')
+    if wavelet == "cdf53":
+        wavelet = "legall5.3"
     orig = (image.shape[-2], image.shape[-1])
     x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant)
     if color == "rct":
@@ -106,7 +115,8 @@ def encode(
         if chroma_gain != 1.0:
             x = x * jnp.array([1.0, 1.0 / chroma_gain, 1.0 / chroma_gain], jnp.float32).reshape(3, 1, 1)
     details = []
-    if wavelet in ("legall5.3", "cdf53"):
+    layout = "tiled"
+    if wavelet == "legall5.3":
         # fused tile-local Pallas passes (JPEG2000-style independent tiles;
         # see wicca_tpu.ops.dwt53_pallas). Detail codes are exact int16.
         from wicca_tpu.ops.dwt53_pallas import dwt53_multilevel_pallas
@@ -121,6 +131,7 @@ def encode(
     elif _is_int_wavelet(wavelet):
         from wicca_tpu.core.lifting import dwt2_level_lifting
 
+        layout = "global"
         ll = x.astype(jnp.int32)
         for _ in range(levels):
             ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
@@ -155,6 +166,7 @@ def encode(
         from wicca_tpu.core.lifting import dwt2_level_lifting
         from wicca_tpu.core.quant import quantize_deadzone
 
+        layout = "global"
         ll = x
         for lvl in range(1, levels + 1):
             ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
@@ -162,7 +174,7 @@ def encode(
             details.append(tuple(quantize_deadzone(b, step, jnp.int16) for b in (lh, hl, hh)))
     return CodeStream(
         ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig,
-        wavelet=wavelet, color=color, chroma_gain=chroma_gain,
+        wavelet=wavelet, color=color, chroma_gain=chroma_gain, layout=layout,
     )
 
 
@@ -178,8 +190,9 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     # with a color transform the in-kernel u8 emission must wait until after
     # the inverse color rotation (shared tail below)
     u8_in = emit_u8 and stream.color == "none"
+    tiled = stream.layout == "tiled"
     x = stream.ll
-    if stream.wavelet in ("legall5.3", "cdf53"):
+    if stream.wavelet in ("legall5.3", "cdf53") and tiled:
         from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
 
         sizes = []
@@ -205,7 +218,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(x, lh, hl, hh, stream.wavelet)
         return _finish_decode(stream, x, emit_u8)
-    if stream.wavelet in ("bior4.4", "cdf97", "db2"):
+    if stream.wavelet in ("bior4.4", "cdf97", "db2") and tiled:
         from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
 
         filt = "db2" if stream.wavelet == "db2" else "cdf97"
@@ -339,7 +352,8 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
     h, w = stream.orig_shape
     out_h = -(-h // (1 << target_level))
     out_w = -(-w // (1 << target_level))
-    if stream.wavelet in ("legall5.3", "cdf53"):
+    tiled = stream.layout == "tiled"
+    if stream.wavelet in ("legall5.3", "cdf53") and tiled:
         from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
 
         x = stream.ll
@@ -378,7 +392,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         if emit_u8:
             x = jnp.clip(x, 0, 255).astype(jnp.uint8)
         return x
-    if stream.wavelet in ("bior4.4", "cdf97", "db2"):
+    if stream.wavelet in ("bior4.4", "cdf97", "db2") and tiled:
         from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
 
         filt = "db2" if stream.wavelet == "db2" else "cdf97"
