@@ -92,17 +92,73 @@ def test_wct3_layout_byte_roundtrip():
     assert deserialize(serialize(t)).layout == "tiled"
 
 
+def _serialize_legacy(stream, version):
+    """Emit the WCT2/WCT3 wire formats (Rice planes, no per-plane codec byte;
+    v2 additionally lacks the layout byte)."""
+    from wicca_tpu.codec.container import _COLORS, _LAYOUTS
+
+    ll = np.asarray(stream.ll, dtype=np.float32)
+    lead = ll.shape[0] if ll.ndim == 3 else 1
+    out = bytearray()
+    out += {2: _MAGIC_V2, 3: b"WCT3"}[version]
+    out += struct.pack(
+        "<BBBIIffII",
+        _WAVELETS[stream.wavelet], stream.levels, lead,
+        stream.orig_shape[0], stream.orig_shape[1],
+        stream.spec.base_step, stream.spec.level_gain,
+        ll.shape[-2], ll.shape[-1],
+    )
+    out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
+    if version >= 3:
+        out += struct.pack("<B", _LAYOUTS[stream.layout])
+    out += ll.tobytes()
+    for bands in stream.details:
+        for b in bands:
+            plane = np.asarray(b)
+            dt = {np.dtype(np.int8): 0, np.dtype(np.int16): 1}[plane.dtype]
+            data = rice_encode(plane)
+            out += struct.pack("<BIII", dt, plane.shape[-2], plane.shape[-1], len(data))
+            out += data
+    return bytes(out)
+
+
 def test_wct2_streams_read_as_tiled():
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (1, 80, 80), np.uint8)
     stream = encode(img, levels=2, wavelet="db2")
-    blob = bytearray(serialize(stream))
-    # WCT2 = WCT3 minus the layout byte after the color fields
-    layout_off = 4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf")
-    v2 = bytes(blob[:4].replace(_MAGIC, _MAGIC_V2)) + bytes(blob[4:layout_off]) + bytes(blob[layout_off + 1 :])
-    back = deserialize(v2)
+    back = deserialize(_serialize_legacy(stream, version=2))
     assert back.layout == "tiled"
     np.testing.assert_array_equal(np.asarray(decode(back)), np.asarray(decode(stream)))
+
+
+def test_wct3_rice_only_planes_still_decode():
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (3, 80, 80), np.uint8)
+    stream = encode(img, levels=2, wavelet="haar")
+    back = deserialize(_serialize_legacy(stream, version=3))
+    assert back.layout == "tiled"
+    np.testing.assert_array_equal(np.asarray(decode(back)), np.asarray(decode(stream)))
+
+
+def test_wct4_codec_choices_roundtrip():
+    from wicca_tpu.native.rice import native_available
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (3, 96, 96), np.uint8)
+    stream = encode(img, levels=3, wavelet="haar")
+    ref = np.asarray(decode(stream))
+    sizes = {}
+    for codec in ("rice", "rc", "auto"):
+        if codec != "rice" and not native_available():
+            continue
+        blob = serialize(stream, codec=codec)
+        assert blob[:4] == _MAGIC
+        back = deserialize(blob)
+        np.testing.assert_array_equal(np.asarray(decode(back)), ref)
+        sizes[codec] = len(blob)
+    if "rc" in sizes:
+        # auto keeps the per-plane smaller of the two
+        assert sizes["auto"] <= min(sizes["rice"], sizes["rc"])
 
 
 def test_cdf53_alias_is_name_stable():

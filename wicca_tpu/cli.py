@@ -60,7 +60,7 @@ def _cmd_encode(args) -> int:
         to_planar(image), levels=args.levels, spec=QuantSpec(base_step=args.step),
         wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
     )
-    nbytes = save(stream, args.output, threads=args.threads)
+    nbytes = save(stream, args.output, threads=args.threads, codec=args.codec)
     raw = int(np.prod(image.shape))
     print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}")
     return 0
@@ -172,6 +172,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--chroma-gain", type=float, default=1.0,
                    help="quantize ICT chroma this much coarser")
     e.add_argument("--threads", type=int, default=8)
+    e.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"],
+                   help="detail-plane entropy codec: rice (fastest), rc (context-modeled "
+                        "range coder, smaller), auto (per-plane smaller of the two)")
     e.set_defaults(fn=_cmd_encode)
 
     d = sub.add_parser("decode", help="decode a .wct codestream to an image")

@@ -1,19 +1,27 @@
 """On-disk container for encoded images (.wct — "wicca-tpu codestream").
 
 Layout (little-endian):
-  magic b'WCT3' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
+  magic b'WCT4' | u8 wavelet | u8 levels | u8 lead(channels) | u32 orig_h | u32 orig_w |
   f32 base_step | f32 level_gain | u32 ll_h | u32 ll_w |
   u8 color (0 none / 1 rct / 2 ict) | f32 chroma_gain |
   u8 layout (0 global / 1 tiled) |
   raw LL plane (float32; int32 for integer/lossless wavelets — same stride,
   dtype implied by the wavelet id) |
   per level (fine->coarse), per band (lh,hl,hh):
-    u8 dtype_code (0=int8,1=int16) | u32 sub_h | u32 sub_w | u32 nbytes |
-    Rice bitstream (wicca_tpu.native.rice)
+    u8 codec (0=rice, 1=rc) | u8 dtype_code (0=int8,1=int16) |
+    u32 sub_h | u32 sub_w | u32 nbytes | entropy bitstream
+
+Detail-plane codecs (both in wicca_tpu/native/entropy.cpp, formats FROZEN):
+  0 rice — adaptive Rice/Golomb with zero-run blocks; fastest.
+  1 rc   — context-modeled binary range coder; 10-25% smaller on clustered
+           deadzone planes. ``codec='auto'`` (default) encodes each plane
+           both ways and keeps the smaller.
 
 Older magics stay readable:
-  WCT2 — no layout byte. Wide-wavelet streams decode tile-local (the fused
-         Pallas kernels were the encoder for every shipped WCT2 stream).
+  WCT3 — no per-plane codec byte (all planes Rice).
+  WCT2 — additionally no layout byte. Wide-wavelet streams decode tile-local
+         (the fused Pallas kernels were the encoder for every shipped WCT2
+         stream).
   WCT1 — additionally no color fields. db2/bior4.4/cdf97 WCT1 streams were
          encoded by the *global* XLA lifting transform (the tile-local
          kernels postdate the format), so they map to layout='global' —
@@ -34,9 +42,10 @@ import numpy as np
 
 from wicca_tpu.codec.pipeline import CodeStream
 from wicca_tpu.core.quant import QuantSpec
-from wicca_tpu.native.rice import rice_decode, rice_encode
+from wicca_tpu.native.rice import native_available, rc_decode, rc_encode, rice_decode, rice_encode
 
-_MAGIC = b"WCT3"
+_MAGIC = b"WCT4"
+_MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
 _MAGIC_V1 = b"WCT1"  # still readable: no color fields; wide streams GLOBAL
 _COLORS = {"none": 0, "rct": 1, "ict": 2}
@@ -53,16 +62,38 @@ _WAVELETS_INV = {0: "haar", 1: "db2", 2: "bior4.4", 3: "cdf97", 4: "haar_int", 5
 # integer (lossless) streams carry an int32 LL plane; same 4-byte stride as
 # float32, dtype implied by the wavelet id
 _INT_WAVELET_IDS = {4, 5}
+_CODEC_RICE, _CODEC_RC = 0, 1
 
 
-def serialize(stream: CodeStream, threads: int = 8) -> bytes:
-    """CodeStream -> container bytes (detail planes Rice-coded in parallel)."""
+def _encode_plane(plane: np.ndarray, codec: str) -> tuple[int, bytes]:
+    """Entropy-code one detail plane -> (codec_id, blob) per the policy."""
+    if codec == "rice" or not native_available():
+        return _CODEC_RICE, rice_encode(plane)
+    if codec == "rc":
+        return _CODEC_RC, rc_encode(plane)
+    # auto: keep whichever is smaller (rc wins on clustered deadzone planes,
+    # rice on dense/noisy ones and is faster to decode)
+    rice_blob = rice_encode(plane)
+    rc_blob = rc_encode(plane)
+    if len(rc_blob) < len(rice_blob):
+        return _CODEC_RC, rc_blob
+    return _CODEC_RICE, rice_blob
+
+
+def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto") -> bytes:
+    """CodeStream -> container bytes (detail planes entropy-coded in parallel).
+
+    ``codec``: 'auto' (default — per-plane smaller of rice/rc), 'rice'
+    (fastest), or 'rc' (context-modeled range coder). Falls back to rice when
+    the native library is unavailable."""
+    if codec not in ("auto", "rice", "rc"):
+        raise ValueError(f"codec must be auto|rice|rc, got {codec!r}")
     ll_dtype = np.int32 if _WAVELETS[stream.wavelet] in _INT_WAVELET_IDS else np.float32
     ll = np.asarray(stream.ll, dtype=ll_dtype)
     lead = ll.shape[0] if ll.ndim == 3 else 1
     planes = [np.asarray(b) for bands in stream.details for b in bands]
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
-        encoded = list(pool.map(rice_encode, planes))
+        encoded = list(pool.map(lambda p: _encode_plane(p, codec), planes))
     out = bytearray()
     out += _MAGIC
     out += struct.pack(
@@ -80,17 +111,19 @@ def serialize(stream: CodeStream, threads: int = 8) -> bytes:
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
     out += ll.tobytes()
-    for plane, data in zip(planes, encoded):
-        out += struct.pack("<BIII", _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data))
+    for plane, (codec_id, data) in zip(planes, encoded):
+        out += struct.pack(
+            "<BBIII", codec_id, _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data)
+        )
         out += data
     return bytes(out)
 
 
 def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     """Container bytes -> CodeStream (planes decoded in parallel)."""
-    if data[:4] not in (_MAGIC, _MAGIC_V2, _MAGIC_V1):
+    if data[:4] not in (_MAGIC, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC: 3}[data[:4]]
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4}[data[:4]]
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
@@ -113,15 +146,22 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     metas = []
     blobs = []
     for _ in range(levels * 3):
-        dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
-        off += struct.calcsize("<BIII")
-        metas.append((dt_code, sh, sw))
+        if version >= 4:
+            codec_id, dt_code, sh, sw, nbytes = struct.unpack_from("<BBIII", data, off)
+            off += struct.calcsize("<BBIII")
+        else:
+            dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
+            off += struct.calcsize("<BIII")
+            codec_id = _CODEC_RICE
+        metas.append((codec_id, dt_code, sh, sw))
         blobs.append(data[off : off + nbytes])
         off += nbytes
 
     def _dec(args):
-        (dt_code, sh, sw), blob = args
+        (codec_id, dt_code, sh, sw), blob = args
         dtype = _DTYPES_INV[dt_code]
+        if codec_id == _CODEC_RC:
+            return rc_decode(blob, (lead, sh, sw), dtype)
         return rice_decode(blob, lead * sh * sw, dtype).reshape(lead, sh, sw)
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
@@ -135,8 +175,8 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     )
 
 
-def save(stream: CodeStream, path: str, threads: int = 8) -> int:
-    data = serialize(stream, threads)
+def save(stream: CodeStream, path: str, threads: int = 8, codec: str = "auto") -> int:
+    data = serialize(stream, threads, codec)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)

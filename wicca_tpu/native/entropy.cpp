@@ -273,6 +273,250 @@ size_t decode_impl(const uint8_t* in, size_t len, T* codes, size_t n) {
     return br.byte;
 }
 
+// ---------------------------------------------------------------------------
+// Context-adaptive binary range coder ("rc", container codec id 1).
+//
+// The Rice coder above is order-0 per block; quantized wavelet details are
+// spatially CLUSTERED (significance of a coefficient is strongly predicted by
+// its causal neighbors — the observation behind JPEG2000's EBCOT context
+// modeling). This coder exploits that with a carry-propagating binary range
+// coder (the classic 32-bit-range / 64-bit-low construction used by LZMA;
+// public-domain arithmetic) driving adaptive 11-bit probabilities indexed by
+// neighbor state:
+//   zero flag — ctx = clamp(|left|,2)*3 + clamp(|up|,2)        (9 contexts)
+//   sign      — ctx = sgnstate(left)*3 + sgnstate(up)          (9 contexts)
+//   magnitude-1 — 4 adaptive unary bits (ctx = clamp(l+u,4)), then an
+//   Elias-gamma tail: adaptive unary length prefix + raw ("direct") bits.
+// Contexts reset per 2-D plane. Measured 10-20% smaller than the Rice
+// streams on deadzone detail planes at a lower (but multi-thread-scalable)
+// MB/s; the container picks per plane (codec="auto").
+//
+// THE RC BITSTREAM FORMAT IS FROZEN once shipped, same rule as Rice: any
+// change needs a new codec id (golden fixture in tests/test_native.py).
+
+namespace rc {
+
+constexpr int PBITS = 11;                      // probability precision
+constexpr uint16_t PINIT = 1u << (PBITS - 1);  // p = 1/2
+constexpr int PADAPT = 5;                      // adaptation shift
+constexpr uint32_t TOP = 1u << 24;
+constexpr int UNARY = 4;  // adaptive unary magnitude bits before gamma tail
+
+struct Encoder {
+    uint8_t* out;
+    size_t cap;
+    size_t pos = 0;
+    uint64_t low = 0;
+    uint32_t range = 0xffffffffu;
+    uint8_t cache = 0;
+    uint64_t cache_size = 1;  // pending bytes awaiting carry resolution
+    bool overflow = false;
+
+    inline void shift_low() {
+        if (static_cast<uint32_t>(low >> 32) != 0 || static_cast<uint32_t>(low) < 0xff000000u) {
+            uint8_t carry = static_cast<uint8_t>(low >> 32);
+            uint8_t b = cache;
+            do {
+                if (pos >= cap) { overflow = true; return; }
+                out[pos++] = static_cast<uint8_t>(b + carry);
+                b = 0xff;
+            } while (--cache_size != 0);
+            cache = static_cast<uint8_t>(low >> 24);
+        }
+        cache_size++;
+        low = static_cast<uint32_t>(low) << 8;  // drop bits 24..31 (now in cache)
+    }
+    // bit coded against p = P(bit == 0), adapted toward the seen bit
+    inline void bit(uint16_t& p, int b) {
+        uint32_t bound = (range >> PBITS) * p;
+        if (!b) {
+            range = bound;
+            p += ((1u << PBITS) - p) >> PADAPT;
+        } else {
+            low += bound;
+            range -= bound;
+            p -= p >> PADAPT;
+        }
+        if (range < TOP) { range <<= 8; shift_low(); }
+    }
+    inline void direct(uint32_t v, int n) {  // equiprobable raw bits
+        for (int i = n - 1; i >= 0; i--) {
+            range >>= 1;
+            if ((v >> i) & 1u) low += range;
+            if (range < TOP) { range <<= 8; shift_low(); }
+        }
+    }
+    size_t finish() {
+        for (int i = 0; i < 5; i++) shift_low();
+        return overflow ? 0 : pos;
+    }
+};
+
+struct Decoder {
+    const uint8_t* in;
+    size_t len;
+    size_t pos = 0;
+    uint32_t range = 0xffffffffu;
+    uint32_t code = 0;
+    bool error = false;
+
+    inline uint8_t next() {
+        if (pos >= len) { error = true; return 0; }
+        return in[pos++];
+    }
+    void init() {
+        for (int i = 0; i < 5; i++) code = (code << 8) | next();
+    }
+    inline int bit(uint16_t& p) {
+        uint32_t bound = (range >> PBITS) * p;
+        int b;
+        if (code < bound) {
+            range = bound;
+            p += ((1u << PBITS) - p) >> PADAPT;
+            b = 0;
+        } else {
+            code -= bound;
+            range -= bound;
+            p -= p >> PADAPT;
+            b = 1;
+        }
+        if (range < TOP) { range <<= 8; code = (code << 8) | next(); }
+        return b;
+    }
+    inline uint32_t direct(int n) {
+        uint32_t v = 0;
+        for (int i = 0; i < n; i++) {
+            range >>= 1;
+            uint32_t b = code >= range;
+            if (b) code -= range;
+            v = (v << 1) | b;
+            if (range < TOP) { range <<= 8; code = (code << 8) | next(); }
+        }
+        return v;
+    }
+};
+
+struct Model {
+    uint16_t zero[9];        // significance flag
+    uint16_t sign[9];        // sign of nonzeros
+    uint16_t mag[5][UNARY];  // unary magnitude prefix
+    uint16_t gam[5][16];     // gamma-length unary prefix of the tail
+    void reset() {
+        for (auto& p : zero) p = PINIT;
+        for (auto& p : sign) p = PINIT;
+        for (auto& row : mag)
+            for (auto& p : row) p = PINIT;
+        for (auto& row : gam)
+            for (auto& p : row) p = PINIT;
+    }
+};
+
+// causal-neighbor state kept per column: magnitude clamped to 2,
+// sign state 0/1/2 = neg/zero-or-edge/pos
+template <typename T>
+size_t encode_impl(const T* codes, size_t planes, size_t h, size_t w, uint8_t* out, size_t cap) {
+    Encoder enc{out, cap};
+    Model mdl;
+    uint8_t* up_mag = new uint8_t[2 * w];
+    uint8_t* up_sgn = up_mag + w;
+    for (size_t pl = 0; pl < planes; pl++) {
+        mdl.reset();
+        std::memset(up_mag, 0, w);
+        std::memset(up_sgn, 1, w);
+        const T* p = codes + pl * h * w;
+        for (size_t y = 0; y < h; y++) {
+            uint8_t left_mag = 0, left_sgn = 1;
+            for (size_t x = 0; x < w; x++) {
+                int32_t v = p[y * w + x];
+                uint32_t m = v < 0 ? 0u - static_cast<uint32_t>(v) : static_cast<uint32_t>(v);
+                int l = left_mag, u = up_mag[x];
+                enc.bit(mdl.zero[l * 3 + u], v != 0);
+                if (v != 0) {
+                    enc.bit(mdl.sign[left_sgn * 3 + up_sgn[x]], v < 0);
+                    uint32_t m1 = m - 1;
+                    int mctx = std::min(l + u, 4);
+                    int i = 0;
+                    while (i < UNARY) {
+                        int more = m1 > static_cast<uint32_t>(i);
+                        enc.bit(mdl.mag[mctx][i], more);
+                        if (!more) break;
+                        i++;
+                    }
+                    if (i == UNARY) {
+                        uint32_t tail = m1 - UNARY + 1;  // >= 1
+                        int len = 0;
+                        while ((tail >> (len + 1)) != 0) len++;
+                        for (int j = 0; j < len; j++) enc.bit(mdl.gam[mctx][std::min(j, 15)], 1);
+                        enc.bit(mdl.gam[mctx][std::min(len, 15)], 0);
+                        if (len) enc.direct(tail & ((1u << len) - 1u), len);
+                    }
+                }
+                left_mag = m > 2 ? 2 : static_cast<uint8_t>(m);
+                left_sgn = v == 0 ? 1 : (v < 0 ? 0 : 2);
+                up_mag[x] = left_mag;
+                up_sgn[x] = left_sgn;
+            }
+            if (enc.overflow) { delete[] up_mag; return 0; }
+        }
+    }
+    delete[] up_mag;
+    return enc.finish();
+}
+
+template <typename T>
+size_t decode_impl(const uint8_t* in, size_t len, T* codes, size_t planes, size_t h, size_t w) {
+    Decoder dec{in, len};
+    dec.init();
+    Model mdl;
+    uint8_t* up_mag = new uint8_t[2 * w];
+    uint8_t* up_sgn = up_mag + w;
+    for (size_t pl = 0; pl < planes; pl++) {
+        mdl.reset();
+        std::memset(up_mag, 0, w);
+        std::memset(up_sgn, 1, w);
+        T* p = codes + pl * h * w;
+        for (size_t y = 0; y < h; y++) {
+            uint8_t left_mag = 0, left_sgn = 1;
+            for (size_t x = 0; x < w; x++) {
+                int l = left_mag, u = up_mag[x];
+                int32_t v = 0;
+                if (dec.bit(mdl.zero[l * 3 + u])) {
+                    int neg = dec.bit(mdl.sign[left_sgn * 3 + up_sgn[x]]);
+                    int mctx = std::min(l + u, 4);
+                    uint32_t m1 = 0;
+                    int i = 0;
+                    while (i < UNARY && dec.bit(mdl.mag[mctx][i])) {
+                        i++;
+                        m1 = i;
+                    }
+                    if (i == UNARY) {
+                        int len_ = 0;
+                        while (dec.bit(mdl.gam[mctx][std::min(len_, 15)])) {
+                            len_++;
+                            if (len_ > 31) { dec.error = true; break; }
+                        }
+                        uint32_t tail = len_ ? ((1u << len_) | dec.direct(len_)) : 1u;
+                        m1 = UNARY - 1 + tail;
+                    }
+                    uint32_t m = m1 + 1;
+                    v = neg ? -static_cast<int32_t>(m) : static_cast<int32_t>(m);
+                }
+                if (dec.error) { delete[] up_mag; return 0; }
+                p[y * w + x] = static_cast<T>(v);
+                uint32_t m = v < 0 ? 0u - static_cast<uint32_t>(v) : static_cast<uint32_t>(v);
+                left_mag = m > 2 ? 2 : static_cast<uint8_t>(m);
+                left_sgn = v == 0 ? 1 : (v < 0 ? 0 : 2);
+                up_mag[x] = left_mag;
+                up_sgn[x] = left_sgn;
+            }
+        }
+    }
+    delete[] up_mag;
+    return dec.pos;
+}
+
+}  // namespace rc
+
 }  // namespace
 
 extern "C" {
@@ -288,6 +532,23 @@ size_t wicca_rice_encode_i16(const int16_t* codes, size_t n, uint8_t* out, size_
 }
 size_t wicca_rice_decode_i16(const uint8_t* in, size_t len, int16_t* codes, size_t n) {
     return decode_impl<int16_t, 16>(in, len, codes, n);
+}
+
+size_t wicca_rc_encode_i8(const int8_t* codes, size_t planes, size_t h, size_t w,
+                          uint8_t* out, size_t cap) {
+    return rc::encode_impl<int8_t>(codes, planes, h, w, out, cap);
+}
+size_t wicca_rc_decode_i8(const uint8_t* in, size_t len, int8_t* codes, size_t planes,
+                          size_t h, size_t w) {
+    return rc::decode_impl<int8_t>(in, len, codes, planes, h, w);
+}
+size_t wicca_rc_encode_i16(const int16_t* codes, size_t planes, size_t h, size_t w,
+                           uint8_t* out, size_t cap) {
+    return rc::encode_impl<int16_t>(codes, planes, h, w, out, cap);
+}
+size_t wicca_rc_decode_i16(const uint8_t* in, size_t len, int16_t* codes, size_t planes,
+                           size_t h, size_t w) {
+    return rc::decode_impl<int16_t>(in, len, codes, planes, h, w);
 }
 
 }  // extern "C"

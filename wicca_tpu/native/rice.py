@@ -37,11 +37,16 @@ def _load():
             if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < (_DIR / "entropy.cpp").stat().st_mtime:
                 subprocess.run(["make", "-s", "-C", str(_DIR)], check=True, capture_output=True)
             lib = ctypes.CDLL(str(_LIB_PATH))
+            _p, _z = ctypes.c_char_p, ctypes.c_size_t
             for name, argt in [
-                ("wicca_rice_encode_i8", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
-                ("wicca_rice_decode_i8", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
-                ("wicca_rice_encode_i16", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
-                ("wicca_rice_decode_i16", [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t]),
+                ("wicca_rice_encode_i8", [_p, _z, _p, _z]),
+                ("wicca_rice_decode_i8", [_p, _z, _p, _z]),
+                ("wicca_rice_encode_i16", [_p, _z, _p, _z]),
+                ("wicca_rice_decode_i16", [_p, _z, _p, _z]),
+                ("wicca_rc_encode_i8", [_p, _z, _z, _z, _p, _z]),
+                ("wicca_rc_decode_i8", [_p, _z, _p, _z, _z, _z]),
+                ("wicca_rc_encode_i16", [_p, _z, _z, _z, _p, _z]),
+                ("wicca_rc_decode_i16", [_p, _z, _p, _z, _z, _z]),
             ]:
                 fn = getattr(lib, name)
                 fn.argtypes = argt
@@ -93,6 +98,56 @@ def rice_encode(codes: np.ndarray) -> bytes:
     # correctness-only path for environments without a compiler
     u = _zigzag(flat).astype(np.uint16)
     return b"RAW0" + u.tobytes()
+
+
+def rc_encode(codes: np.ndarray) -> bytes:
+    """Context-modeled range-coder encode of an int8/int16 plane stack.
+
+    ``codes`` is ``(h, w)`` or ``(planes, h, w)`` — the 2-D geometry drives
+    the causal-neighbor context model (entropy.cpp, codec id 1), typically
+    10-20% smaller than :func:`rice_encode` on deadzone detail planes.
+    Requires the native library (no numpy fallback) — callers pick Rice when
+    :func:`native_available` is False.
+    """
+    codes = np.ascontiguousarray(codes)
+    if codes.dtype not in (np.int8, np.int16):
+        raise TypeError(f"codes must be int8/int16, got {codes.dtype}")
+    if codes.ndim == 2:
+        codes = codes[None]
+    if codes.ndim != 3:
+        raise ValueError(f"codes must be (h,w) or (planes,h,w), got shape {codes.shape}")
+    if codes.size == 0:
+        return b""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("rc codec requires the native library")
+    planes, h, w = codes.shape
+    cap = codes.size * codes.dtype.itemsize * 2 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    fn = lib.wicca_rc_encode_i8 if codes.dtype == np.int8 else lib.wicca_rc_encode_i16
+    n = fn(codes.ctypes.data_as(ctypes.c_char_p), planes, h, w, out.ctypes.data_as(ctypes.c_char_p), cap)
+    if n == 0:
+        raise RuntimeError("rc encode overflow")
+    return out[:n].tobytes()
+
+
+def rc_decode(data: bytes, shape: tuple, dtype=np.int8) -> np.ndarray:
+    """Inverse of rc_encode: bytes -> array of the given (planes, h, w) or
+    (h, w) shape/dtype."""
+    dtype = np.dtype(dtype)
+    shp = tuple(int(s) for s in shape)
+    planes, h, w = (1, *shp) if len(shp) == 2 else shp
+    out = np.empty((planes, h, w), dtype=dtype)
+    if out.size == 0:
+        return out.reshape(shp)
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("rc codec requires the native library")
+    fn = lib.wicca_rc_decode_i8 if dtype == np.int8 else lib.wicca_rc_decode_i16
+    used = fn(data, len(data), out.ctypes.data_as(ctypes.c_char_p), planes, h, w)
+    if used == 0:
+        raise RuntimeError("rc decode error")
+    return out.reshape(shp)
 
 
 def rice_decode(data: bytes, n: int, dtype=np.int8) -> np.ndarray:
