@@ -71,3 +71,15 @@ def test_analyze_reconstruction_mode(workdir):
                "--compare", "reconstruction", "--step", "2.0"])
     assert rc == 0
     assert (workdir / "res_rec" / "depth-1" / "SimpleCNN-depth-1.csv").is_file()
+
+
+def test_encode_rate_control_cli(workdir, capsys):
+    assert main(["encode", str(workdir / "imgs" / "im2.png"), str(workdir / "im2rc.wct"),
+                 "--levels", "3", "--target-bpp", "1.5", "--codec", "rc"]) == 0
+    out = capsys.readouterr().out
+    assert "rate control" in out
+    assert main(["decode", str(workdir / "im2rc.wct"), str(workdir / "rec2rc.png"),
+                 "--original", str(workdir / "imgs" / "im2.png")]) == 0
+    # mutually exclusive targets
+    assert main(["encode", str(workdir / "imgs" / "im2.png"), str(workdir / "x.wct"),
+                 "--target-bpp", "1.0", "--target-psnr", "40.0"]) == 2

@@ -164,6 +164,56 @@ def test_rd_curve_monotone():
         assert p["bpp_actual"] < p["bpp_entropy"] * 1.6 + 0.3
 
 
+def _photo_like(h=96, w=96):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    return np.clip(128 + 60 * np.sin(xx / 9) + 40 * np.cos(yy / 11), 0, 255).astype(np.uint8)[None]
+
+
+def test_encode_to_bpp_meets_budget_tightly():
+    from wicca_tpu.codec.rd import _grid_step, encode_to_bpp, rd_point
+
+    img = _photo_like()
+    stream, info = encode_to_bpp(img, 1.0, levels=3, rate="actual")
+    assert info["met"] and info["bpp"] <= 1.0
+    # tight: one grid notch finer would blow the budget
+    finer = _grid_step(round(4 * np.log2(info["step"] / 0.125)) - 1)
+    over = rd_point(img, finer, levels=3, actual_bytes=True)
+    assert over["bpp_actual"] > 1.0
+
+
+def test_encode_to_bpp_entropy_rate_and_unreachable():
+    from wicca_tpu.codec.rd import encode_to_bpp
+
+    img = _photo_like()
+    stream, info = encode_to_bpp(img, 2.0, levels=3, rate="entropy")
+    assert info["met"] and info["bpp"] <= 2.0
+    # an absurdly small budget is reported as unmet, not silently wrong
+    _, info2 = encode_to_bpp(img, 1e-6, levels=3, rate="entropy")
+    assert not info2["met"]
+
+
+def test_encode_to_psnr_meets_bar_frugally():
+    from wicca_tpu.codec.rd import _grid_step, encode_to_psnr, rd_point
+
+    img = _photo_like()
+    stream, info = encode_to_psnr(img, 38.0, levels=3)
+    assert info["met"] and info["psnr_db"] >= 38.0
+    # frugal: one grid notch coarser would miss the bar
+    coarser = _grid_step(round(4 * np.log2(info["step"] / 0.125)) + 1)
+    under = rd_point(img, coarser, levels=3)
+    assert under["psnr_db"] < 38.0
+
+
+def test_rate_control_rejects_lossless_wavelets():
+    from wicca_tpu.codec.rd import encode_to_bpp, encode_to_psnr
+
+    img = _photo_like()
+    with pytest.raises(ValueError):
+        encode_to_bpp(img, 1.0, levels=2, wavelet="legall5.3")
+    with pytest.raises(ValueError):
+        encode_to_psnr(img, 40.0, levels=2, wavelet="haar_int")
+
+
 # ---------------------------------------------------------------------------
 # Lossless streams (integer wavelets: legall5.3 / haar_int)
 # ---------------------------------------------------------------------------

@@ -56,13 +56,35 @@ def _cmd_encode(args) -> int:
     if image is None:
         print(f"error: cannot read image {args.input}", file=sys.stderr)
         return 2
-    stream = encode(
-        to_planar(image), levels=args.levels, spec=QuantSpec(base_step=args.step),
-        wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
-    )
+    if args.target_bpp is not None and args.target_psnr is not None:
+        print("error: --target-bpp and --target-psnr are mutually exclusive", file=sys.stderr)
+        return 2
+    planar = to_planar(image)
+    note = ""
+    if args.target_bpp is not None:
+        from wicca_tpu.codec import encode_to_bpp
+
+        stream, info = encode_to_bpp(
+            planar, args.target_bpp, levels=args.levels, wavelet=args.wavelet,
+            color=args.color, chroma_gain=args.chroma_gain, rate="actual", codec=args.codec,
+        )
+        note = f"  [rate control: step {info['step']:.3g}, {info['bpp']} bpp, {info['probes']} probes]"
+    elif args.target_psnr is not None:
+        from wicca_tpu.codec import encode_to_psnr
+
+        stream, info = encode_to_psnr(
+            planar, args.target_psnr, levels=args.levels, wavelet=args.wavelet,
+            color=args.color, chroma_gain=args.chroma_gain,
+        )
+        note = f"  [rate control: step {info['step']:.3g}, {info['psnr_db']} dB, {info['probes']} probes]"
+    else:
+        stream = encode(
+            planar, levels=args.levels, spec=QuantSpec(base_step=args.step),
+            wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
+        )
     nbytes = save(stream, args.output, threads=args.threads, codec=args.codec)
     raw = int(np.prod(image.shape))
-    print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}")
+    print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}{note}")
     return 0
 
 
@@ -157,6 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("output")
     e.add_argument("--levels", type=int, default=5)
     e.add_argument("--step", type=float, default=1.0, help="deadzone quantization step")
+    e.add_argument("--target-bpp", type=float, default=None,
+                   help="rate control: pick the finest step meeting this bits-per-pixel budget (overrides --step)")
+    e.add_argument("--target-psnr", type=float, default=None,
+                   help="rate control: pick the coarsest step meeting this PSNR in dB (overrides --step)")
     e.add_argument(
         "--wavelet",
         default="haar",

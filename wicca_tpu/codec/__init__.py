@@ -9,4 +9,4 @@ from wicca_tpu.codec.pipeline import (
     estimated_entropy_bytes,
     icon_from_stream,
 )
-from wicca_tpu.codec.rd import plot_rd_curve, rd_curve, rd_point
+from wicca_tpu.codec.rd import encode_to_bpp, encode_to_psnr, plot_rd_curve, rd_curve, rd_point
