@@ -412,3 +412,93 @@ def test_bior44_pallas_multitile():
     # same tile grid + same levels; only the quantization of levels 1-2
     # differs (absent in the partial decode input), so LLs agree closely
     assert np.abs(got - want[:, : got.shape[-2], : got.shape[-1]]).max() < 8.0
+
+
+# ---------------------------------------------------------------------------
+# Spatial random access (decode_region)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_region_haar_exact():
+    from wicca_tpu.codec.pipeline import decode_region
+
+    x = _img((3, 80, 100), seed=21)
+    stream = encode(x, levels=3, spec=QuantSpec(base_step=1.0))
+    full = np.asarray(decode(stream))
+    roi = np.asarray(decode_region(stream, 17, 53, 33, 97))
+    np.testing.assert_array_equal(roi, full[..., 17:53, 33:97])
+    # u8 emission and single-pixel region
+    px = np.asarray(decode_region(stream, 5, 6, 7, 8, emit_u8=True))
+    assert px.shape == (3, 1, 1) and px.dtype == np.uint8
+
+
+def test_decode_region_haar_reads_fraction_of_planes():
+    """On a tall image the slice is proportional to the region, not the image."""
+    from wicca_tpu.codec.pipeline import decode_region
+
+    x = _img((1, 1024, 64), seed=22)
+    stream = encode(x, levels=3, spec=QuantSpec(base_step=1.0))
+    full = np.asarray(decode(stream))
+    roi = np.asarray(decode_region(stream, 500, 540, 0, 64))
+    np.testing.assert_array_equal(roi, full[..., 500:540, :])
+
+
+def test_decode_region_tiled_legall_tile_aligned():
+    from wicca_tpu.codec.pipeline import decode_region
+
+    # 1200 rows span three 512-row encoder tiles (single pass at levels<=3)
+    x = _img((1, 1200, 96), seed=23)
+    stream = encode(x, levels=2, wavelet="legall5.3")
+    full = np.asarray(decode(stream))
+    roi = np.asarray(decode_region(stream, 520, 700, 10, 90))
+    np.testing.assert_array_equal(roi, full[..., 520:700, 10:90])
+
+
+def test_decode_region_tiled_float_wavelet():
+    from wicca_tpu.codec.pipeline import decode_region
+
+    x = _img((1, 1100, 80), seed=24)
+    stream = encode(x, levels=3, spec=QuantSpec(base_step=1.0), wavelet="bior4.4")
+    full = np.asarray(decode(stream))
+    roi = np.asarray(decode_region(stream, 600, 800, 0, 80))
+    np.testing.assert_array_equal(roi, full[..., 600:800, :])
+
+
+def test_decode_region_global_lifting_margin():
+    """Global-layout streams (v1-era wide wavelets): the halo margin covers
+    the inverse cascade, so the window matches the full inverse to float
+    rounding (XLA fuses/FMA-contracts shape-dependently, so bitwise equality
+    across shapes is not achievable for jitted float lifting)."""
+    import dataclasses as _dc
+
+    from wicca_tpu.codec.pipeline import decode_region
+    from wicca_tpu.core.lifting import dwt2_level_lifting
+    from wicca_tpu.core.pad import pad_to_multiple
+    from wicca_tpu.core.quant import quantize_deadzone
+    import jax.numpy as jnp
+
+    x = _img((1, 256, 320), seed=25)
+    spec = QuantSpec(base_step=1.0)
+    xx = pad_to_multiple(x, 4, mode="replicate").astype(jnp.float32)
+    ll, details = xx, []
+    for lvl in (1, 2):
+        ll, lh, hl, hh = dwt2_level_lifting(ll, "bior4.4")
+        details.append(tuple(quantize_deadzone(b, spec.detail_step(lvl), jnp.int16) for b in (lh, hl, hh)))
+    stream = CodeStream(ll=ll, details=tuple(details), spec=spec, levels=2,
+                        orig_shape=(256, 320), wavelet="bior4.4", layout="global")
+    full = np.asarray(decode(stream))
+    roi = np.asarray(decode_region(stream, 100, 180, 120, 260))
+    np.testing.assert_allclose(roi, full[..., 100:180, 120:260], atol=2e-3)
+
+
+def test_decode_region_bounds_and_lossless():
+    from wicca_tpu.codec.pipeline import decode_region
+
+    x = _img((3, 96, 96), seed=26)
+    stream = encode(x, levels=2, wavelet="legall5.3", color="rct")
+    roi = np.asarray(decode_region(stream, 10, 60, 20, 70, emit_u8=True))
+    np.testing.assert_array_equal(roi, x[..., 10:60, 20:70])
+    with pytest.raises(ValueError):
+        decode_region(stream, -1, 5, 0, 5)
+    with pytest.raises(ValueError):
+        decode_region(stream, 0, 5, 90, 100)

@@ -4,6 +4,7 @@ from wicca_tpu.codec.pipeline import (
     compression_ratio,
     decode,
     decode_at_level,
+    decode_region,
     encode,
     entropy_ratio,
     estimated_entropy_bytes,

@@ -335,6 +335,83 @@ def entropy_ratio(stream: CodeStream) -> float:
     return (lead * h * w) / max(estimated_entropy_bytes(stream), 1.0)
 
 
+def decode_region(
+    stream: CodeStream,
+    row0: int,
+    row1: int,
+    col0: int,
+    col1: int,
+    emit_u8: bool = False,
+) -> jax.Array:
+    """Spatial random access: reconstruct only pixels ``[row0:row1, col0:col1)``
+    — EXACTLY equal to the same crop of :func:`decode` — touching only the
+    coefficients that contribute to the window.
+
+    The coefficient slice is grown to the stream's localization geometry:
+
+    * haar / haar_int — the transform is 2-tap block-structured, so a slice
+      aligned to ``2**levels`` reconstructs bit-exactly with no margin.
+    * tiled wide wavelets (legall5.3 / db2 / bior4.4 / cdf97) — tiles are
+      independent (JPEG2000 semantics), so the slice aligns to the encoder's
+      tile grid of the coarsest pass (``(512, 1024) * 2**(levels - k_last)``
+      in pixel space); within-budget regions decode from just their tiles.
+    * global-layout wide wavelets — lifting has finite support, so a
+      ``16 * 2**levels`` halo margin covers the inverse cascade's influence
+      radius; the halo is cropped off before returning. Integer wavelets are
+      bitwise equal to the full inverse; float wavelets match to within a few
+      float32 ulps (XLA's fusion/FMA choices are shape-dependent, so two
+      compilations of the same lifting graph at different shapes may round
+      differently — measured <= ~1e-3 gray levels, far below the codec's
+      quantization step).
+
+    When the grown slice covers the whole image this degenerates to a full
+    decode + crop (still exact, just not cheaper). For gigapixel streams at
+    modest depth it reads a small fraction of the coefficient planes.
+    """
+    H, W = stream.orig_shape
+    if not (0 <= row0 < row1 <= H and 0 <= col0 < col1 <= W):
+        raise ValueError(f"region [{row0}:{row1}, {col0}:{col1}) outside image {(H, W)}")
+    lv = stream.levels
+    align = 1 << lv
+    margin = 0
+    align_r = align_c = align
+    if stream.wavelet in ("haar", "haar_int"):
+        pass  # block transform: alignment alone is exact
+    elif stream.layout == "tiled":
+        from wicca_tpu.ops.dwt_pallas import _TILE_H, _TILE_W
+
+        # encoder pass partition (fine-side groups of <=3); the coarsest
+        # pass tiles in its own input space = pixels / 2**(lv - k_last)
+        sizes = []
+        lvl = 0
+        while lvl < lv:
+            sizes.append(min(3, lv - lvl))
+            lvl += sizes[-1]
+        shift = lv - sizes[-1]
+        align_r = max(align, _TILE_H << shift)
+        align_c = max(align, _TILE_W << shift)
+    else:
+        # Inverse-lifting influence radius is <= ~6 polyphase samples per
+        # level (cdf97: 4 chained +-1 steps), and level-l samples span 2**l
+        # pixels, so sum_l 6*2**l < 16*2**lv pixels covers the cascade.
+        margin = 16 << lv
+    r0 = max(0, row0 - margin) // align_r * align_r
+    c0 = max(0, col0 - margin) // align_c * align_c
+    r1 = -(-(row1 + margin) // align_r) * align_r
+    c1 = -(-(col1 + margin) // align_c) * align_c
+    details = tuple(
+        tuple(b[..., r0 >> l : r1 >> l, c0 >> l : c1 >> l] for b in stream.details[l - 1])
+        for l in range(1, lv + 1)
+    )
+    ll = stream.ll[..., r0 >> lv : r1 >> lv, c0 >> lv : c1 >> lv]
+    sub = dataclasses.replace(
+        stream, ll=ll, details=details,
+        orig_shape=(min(r1, H) - r0, min(c1, W) - c0),
+    )
+    out = decode(sub, emit_u8=emit_u8)
+    return out[..., row0 - r0 : row1 - r0, col0 - c0 : col1 - c0]
+
+
 @partial(jax.jit, static_argnames=("target_level", "emit_u8"))
 def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False) -> jax.Array:
     """Progressive decode: reconstruct at 1/2**target_level resolution using
