@@ -116,27 +116,20 @@ def encode(
             x = x * jnp.array([1.0, 1.0 / chroma_gain, 1.0 / chroma_gain], jnp.float32).reshape(3, 1, 1)
     details = []
     layout = "tiled"
-    if wavelet == "legall5.3":
-        # fused tile-local Pallas passes (JPEG2000-style independent tiles;
-        # see wicca_tpu.ops.dwt53_pallas). Detail codes are exact int16.
+    if wavelet in ("legall5.3", "haar_int"):
+        # fused tile-local Pallas passes (JPEG2000-style independent tiles
+        # for 5/3; the haar_int S-transform is pair-local so its tiling is
+        # invisible — coefficients are bit-identical to the whole-image
+        # core.lifting transform). Detail codes are exact int16.
         from wicca_tpu.ops.dwt53_pallas import dwt53_multilevel_pallas
 
         ll = x
         lvl = 0
         while lvl < levels:
             k = min(3, levels - lvl)
-            ll, dets = dwt53_multilevel_pallas(ll, k)
+            ll, dets = dwt53_multilevel_pallas(ll, k, filt=wavelet)
             details.extend(dets)
             lvl += k
-    elif _is_int_wavelet(wavelet):
-        from wicca_tpu.core.lifting import dwt2_level_lifting
-
-        layout = "global"
-        ll = x.astype(jnp.int32)
-        for _ in range(levels):
-            ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
-            # S-transform details of u8 input are bounded well within int16
-            details.append(tuple(b.astype(jnp.int16) for b in (lh, hl, hh)))
     elif wavelet == "haar":
         # fused passes of <=3 levels: one HBM read per pass; uint8 input
         # stays uint8 into the first pass (integer-exact early levels)
@@ -192,9 +185,12 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     u8_in = emit_u8 and stream.color == "none"
     tiled = stream.layout == "tiled"
     x = stream.ll
-    if stream.wavelet in ("legall5.3", "cdf53") and tiled:
+    # haar_int is pair-local, so the fused kernel decodes BOTH layouts
+    # bit-identically (old global-layout streams included)
+    if stream.wavelet == "haar_int" or (stream.wavelet in ("legall5.3", "cdf53") and tiled):
         from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
 
+        filt = "haar_int" if stream.wavelet == "haar_int" else "legall5.3"
         sizes = []
         lvl = 0
         while lvl < stream.levels:
@@ -206,7 +202,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             dets = [stream.details[i] for i in range(lo, hi)]
             ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
             x = x[..., :ch, :cw]
-            x = idwt53_multilevel_pallas(x, dets, k, emit_u8=u8_in and lo == 0)
+            x = idwt53_multilevel_pallas(x, dets, k, emit_u8=u8_in and lo == 0, filt=filt)
             hi = lo
         return _finish_decode(stream, x, emit_u8)
     if _is_int_wavelet(stream.wavelet):
@@ -430,9 +426,10 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
     out_h = -(-h // (1 << target_level))
     out_w = -(-w // (1 << target_level))
     tiled = stream.layout == "tiled"
-    if stream.wavelet in ("legall5.3", "cdf53") and tiled:
+    if stream.wavelet == "haar_int" or (stream.wavelet in ("legall5.3", "cdf53") and tiled):
         from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
 
+        filt = "haar_int" if stream.wavelet == "haar_int" else "legall5.3"
         x = stream.ll
         sizes = []
         lvl = 0
@@ -449,7 +446,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             x = x[..., :ch, :cw]
             # orig_k aligns the partial pass's tile-local clamps with the
             # encoder's full-pass tile grid
-            x = idwt53_multilevel_pallas(x, use, len(use), orig_k=k)
+            x = idwt53_multilevel_pallas(x, use, len(use), orig_k=k, filt=filt)
             hi = max(lo, target_level)
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)

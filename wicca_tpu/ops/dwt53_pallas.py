@@ -82,43 +82,75 @@ def _unlift53_rows(s, d):
     return _row_interleave(e, o)
 
 
-def _level53_fwd(x):
-    """One 2-D 5/3 level, horizontal then vertical (core-path order).
+def _lift_s_rows(x):
+    """Forward integer-Haar S-transform over row pairs: d = o - e,
+    s = e + (d >> 1) (core haar_int_fwd1d). Pair-local — no neighbor taps —
+    so the tile-local kernel is BIT-IDENTICAL to the whole-image transform."""
+    h, w = x.shape
+    r = x.reshape(h // 2, 2, w)
+    e, o = r[:, 0, :], r[:, 1, :]
+    d = o - e
+    s = e + (d >> 1)
+    return s, d
+
+
+def _unlift_s_rows(s, d):
+    e = s - (d >> 1)
+    o = d + e
+    return _row_interleave(e, o)
+
+
+_LIFT_ROWS = {
+    "legall5.3": (_lift53_rows, _unlift53_rows),
+    "haar_int": (_lift_s_rows, _unlift_s_rows),
+}
+
+
+def _level53_fwd(x, filt: str = "legall5.3"):
+    """One 2-D reversible level, horizontal then vertical (core-path order).
     x: (h, w) int32 -> (ll, lh, hl, hh) each (h/2, w/2) int32."""
-    s_t, d_t = _lift53_rows(x.T)  # horizontal lifting on the transpose
-    ll, hl = _lift53_rows(s_t.T)  # vertical lifting of horizontal-low
-    lh, hh = _lift53_rows(d_t.T)
+    lift, _ = _LIFT_ROWS[filt]
+    s_t, d_t = lift(x.T)  # horizontal lifting on the transpose
+    ll, hl = lift(s_t.T)  # vertical lifting of horizontal-low
+    lh, hh = lift(d_t.T)
     return ll, lh, hl, hh
 
 
-def _level53_inv(ll, lh, hl, hh):
-    lo = _unlift53_rows(ll, hl)  # vertical inverse
-    hi = _unlift53_rows(lh, hh)
-    x_t = _unlift53_rows(lo.T, hi.T)  # horizontal inverse on transposes
+def _level53_inv(ll, lh, hl, hh, filt: str = "legall5.3"):
+    _, unlift = _LIFT_ROWS[filt]
+    lo = unlift(ll, hl)  # vertical inverse
+    hi = unlift(lh, hh)
+    x_t = unlift(lo.T, hi.T)  # horizontal inverse on transposes
     return x_t.T
 
 
-def _dwt53_kernel(x_ref, *out_refs, k: int, from_u8: bool):
+def _dwt53_kernel(x_ref, *out_refs, k: int, from_u8: bool, filt: str):
     """k fused levels. Outputs: [lh1, hl1, hh1, ..., lhk, hlk, hhk, ll]."""
     ll_ref = out_refs[-1]
     x = x_ref[0].astype(jnp.int32) if from_u8 else x_ref[0]
     for lvl in range(1, k + 1):
-        x, lh, hl, hh = _level53_fwd(x)
+        x, lh, hl, hh = _level53_fwd(x, filt)
         base = (lvl - 1) * 3
         for slot, band in ((0, lh), (1, hl), (2, hh)):
             out_refs[base + slot][0] = band.astype(out_refs[base + slot].dtype)
     ll_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def dwt53_multilevel_pallas(x: jax.Array, k: int):
-    """Up to 3 fused tile-local 5/3 levels in one HBM pass.
+@functools.partial(jax.jit, static_argnames=("k", "filt"))
+def dwt53_multilevel_pallas(x: jax.Array, k: int, filt: str = "legall5.3"):
+    """Up to 3 fused tile-local reversible levels in one HBM pass.
 
     ``x``: planar ``(..., H, W)`` uint8 or int32; H, W divisible by ``2**k``
     (pad first). Returns ``(ll_i32, [(lh, hl, hh) int16, ...])`` fine-to-
     coarse. Large dims are replicate-padded to tile multiples (crop via the
     codec shape chain, as with the Haar kernels).
+
+    ``filt``: 'legall5.3' (JPEG2000 reversible 5/3) or 'haar_int' (the
+    S-transform; pair-local, so tiling is invisible — coefficients are
+    bit-identical to :func:`wicca_tpu.core.lifting.dwt2_lifting`).
     """
+    if filt not in _LIFT_ROWS:
+        raise ValueError(f"filt must be one of {sorted(_LIFT_ROWS)}")
     if not 1 <= k <= 3:
         raise ValueError("1..3 levels per pass")
     lead = x.shape[:-2]
@@ -146,7 +178,7 @@ def dwt53_multilevel_pallas(x: jax.Array, k: int):
         pl.BlockSpec((1, th // unit, tw // unit), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)
     )
     outs = pl.pallas_call(
-        functools.partial(_dwt53_kernel, k=k, from_u8=from_u8),
+        functools.partial(_dwt53_kernel, k=k, from_u8=from_u8, filt=filt),
         out_shape=tuple(out_shapes),
         grid=(c, hp // th, wp // tw),
         in_specs=[pl.BlockSpec((1, th, tw), lambda ci, i, j: (ci, i, j), memory_space=pltpu.VMEM)],
@@ -158,7 +190,7 @@ def dwt53_multilevel_pallas(x: jax.Array, k: int):
     return ll, details
 
 
-def _idwt53_kernel(*refs, k: int, emit_u8: bool):
+def _idwt53_kernel(*refs, k: int, emit_u8: bool, filt: str):
     """Inputs: [ll, lhk, hlk, hhk, ..., lh1, hl1, hh1]; output last."""
     out_ref = refs[-1]
     x = refs[0][0].astype(jnp.int32)
@@ -167,15 +199,17 @@ def _idwt53_kernel(*refs, k: int, emit_u8: bool):
         lh = refs[base][0].astype(jnp.int32)
         hl = refs[base + 1][0].astype(jnp.int32)
         hh = refs[base + 2][0].astype(jnp.int32)
-        x = _level53_inv(x, lh, hl, hh)
+        x = _level53_inv(x, lh, hl, hh, filt)
     if emit_u8:
         out_ref[0] = jnp.clip(x, 0, 255).astype(jnp.uint8)
     else:
         out_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("k", "emit_u8", "orig_k"))
-def idwt53_multilevel_pallas(ll: jax.Array, details, k: int, emit_u8: bool = False, orig_k: int | None = None):
+@functools.partial(jax.jit, static_argnames=("k", "emit_u8", "orig_k", "filt"))
+def idwt53_multilevel_pallas(
+    ll: jax.Array, details, k: int, emit_u8: bool = False, orig_k: int | None = None, filt: str = "legall5.3"
+):
     """Fused inverse of :func:`dwt53_multilevel_pallas` (one HBM pass).
 
     ``details``: [(lh, hl, hh), ...] fine-to-coarse, ``len(details) == k``.
@@ -224,7 +258,7 @@ def idwt53_multilevel_pallas(ll: jax.Array, details, k: int, emit_u8: bool = Fal
             )
     out_dt = jnp.uint8 if emit_u8 else jnp.int32
     out = pl.pallas_call(
-        functools.partial(_idwt53_kernel, k=k, emit_u8=emit_u8),
+        functools.partial(_idwt53_kernel, k=k, emit_u8=emit_u8, filt=filt),
         out_shape=jax.ShapeDtypeStruct((c, chp * unit, cwp * unit), out_dt),
         grid=(c, chp // th_c, cwp // tw_c),
         in_specs=in_specs,
