@@ -83,3 +83,18 @@ def test_encode_rate_control_cli(workdir, capsys):
     # mutually exclusive targets
     assert main(["encode", str(workdir / "imgs" / "im2.png"), str(workdir / "x.wct"),
                  "--target-bpp", "1.0", "--target-psnr", "40.0"]) == 2
+
+
+def test_encode_quality_layers_and_region_cli(workdir, capsys):
+    assert main(["encode", str(workdir / "imgs" / "im1.png"), str(workdir / "im1q.wct"),
+                 "--levels", "3", "--quality-layers", "3"]) == 0
+    assert main(["decode", str(workdir / "im1q.wct"), str(workdir / "rec1q.png"),
+                 "--max-layers", "2", "--original", str(workdir / "imgs" / "im1.png")]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR" in out
+    assert main(["decode", str(workdir / "im1q.wct"), str(workdir / "roi1q.png"),
+                 "--region", "8", "40", "16", "48"]) == 0
+    import cv2
+
+    roi = cv2.imread(str(workdir / "roi1q.png"))
+    assert roi.shape[:2] == (32, 32)

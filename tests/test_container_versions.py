@@ -169,3 +169,87 @@ def test_cdf53_alias_is_name_stable():
     back = deserialize(serialize(stream))
     assert back.wavelet == stream.wavelet
     np.testing.assert_array_equal(np.asarray(decode(back, emit_u8=True)), img)
+
+
+# ---------------------------------------------------------------------------
+# WCT5 quality layers (SNR scalability)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_img(shape, seed):
+    """Smooth-ish test image (pure noise defeats the deadzone quantizer)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (shape[0], shape[1] // 8, shape[2] // 8)).astype(np.float32)
+    up = np.kron(base, np.ones((1, 8, 8), np.float32))
+    up += rng.normal(0, 4, shape).astype(np.float32)
+    return np.clip(up, 0, 255).astype(np.uint8)
+
+
+def test_layered_full_roundtrip_exact():
+    """All layers reproduce the CodeStream exactly (codes and spec)."""
+    img = _smooth_img((3, 128, 160), 20)
+    stream = encode(img, levels=3, spec=QuantSpec(base_step=1.0))
+    blob = serialize(stream, quality_layers=4)
+    assert blob[:4] == b"WCT5"
+    back = deserialize(blob)
+    assert back.spec.base_step == stream.spec.base_step
+    for a, b in zip(back.details, stream.details):
+        for p, q in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(q))
+    np.testing.assert_array_equal(np.asarray(decode(back)), np.asarray(decode(stream)))
+
+
+def test_layer_prefix_equals_coarser_step_encode():
+    """max_layers=k decodes bit-identically to encoding at step*2**(L-k)."""
+    img = _smooth_img((1, 128, 128), 21)
+    stream = encode(img, levels=3, spec=QuantSpec(base_step=1.0))
+    blob = serialize(stream, quality_layers=3)
+    for k, mult in ((1, 4.0), (2, 2.0)):
+        got = deserialize(blob, max_layers=k)
+        assert got.spec.base_step == mult
+        want = encode(img, levels=3, spec=QuantSpec(base_step=mult))
+        for a, b in zip(got.details, want.details):
+            for p, q in zip(a, b):
+                np.testing.assert_array_equal(np.asarray(p), np.asarray(q).astype(np.asarray(p).dtype))
+        np.testing.assert_array_equal(np.asarray(decode(got)), np.asarray(decode(want)))
+
+
+def test_layered_lossless_stream():
+    """Lossless 5/3 stream: full layers stay bit-exact; a prefix is a usable
+    lossy preview."""
+    img = _smooth_img((3, 96, 96), 22)
+    stream = encode(img, levels=2, wavelet="legall5.3", color="rct")
+    blob = serialize(stream, quality_layers=3)
+    full = deserialize(blob)
+    np.testing.assert_array_equal(np.asarray(decode(full, emit_u8=True)), img)
+    prev = deserialize(blob, max_layers=1)
+    rec = np.asarray(decode(prev, emit_u8=True))
+    p = float(psnr(jnp.asarray(rec.astype(np.float32)), jnp.asarray(img.astype(np.float32))))
+    assert p > 25.0, p
+
+
+def test_truncated_prefix_decodes():
+    img = _smooth_img((1, 128, 128), 23)
+    stream = encode(img, levels=2, spec=QuantSpec(base_step=1.0))
+    blob = serialize(stream, quality_layers=3)
+    one_layer = deserialize(blob, max_layers=1)
+    # chop mid-way through layer 2's records: layer 1 must survive
+    cut = len(blob) - (len(blob) - len(serialize(stream, quality_layers=1))) // 4
+    got = deserialize(blob[:cut], allow_truncated=True)
+    assert got.spec.base_step in (2.0, 4.0)  # 1 or 2 complete layers
+    import pytest
+
+    with pytest.raises(ValueError):
+        deserialize(blob[:cut])
+    # a prefix too short for even one layer still errors
+    with pytest.raises(ValueError):
+        deserialize(blob[: len(blob) // 20], allow_truncated=True)
+    del one_layer
+
+
+def test_layered_size_overhead_is_modest():
+    img = _smooth_img((3, 256, 256), 24)
+    stream = encode(img, levels=3, spec=QuantSpec(base_step=2.0))
+    flat = len(serialize(stream))
+    layered = len(serialize(stream, quality_layers=3))
+    assert layered < flat * 1.6, (flat, layered)

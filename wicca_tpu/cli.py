@@ -82,7 +82,8 @@ def _cmd_encode(args) -> int:
             planar, levels=args.levels, spec=QuantSpec(base_step=args.step),
             wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
         )
-    nbytes = save(stream, args.output, threads=args.threads, codec=args.codec)
+    nbytes = save(stream, args.output, threads=args.threads, codec=args.codec,
+                  quality_layers=args.quality_layers)
     raw = int(np.prod(image.shape))
     print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}{note}")
     return 0
@@ -92,11 +93,16 @@ def _cmd_decode(args) -> int:
     import cv2
     import numpy as np
 
-    from wicca_tpu.codec import decode, load
+    from wicca_tpu.codec import decode, decode_region, load
     from wicca_tpu.data.loader import from_planar
 
-    stream = load(args.input, threads=args.threads)
-    rec = np.clip(np.asarray(decode(stream)), 0, 255).astype(np.uint8)
+    stream = load(args.input, threads=args.threads, max_layers=args.max_layers,
+                  allow_truncated=args.allow_truncated)
+    if args.region is not None:
+        r0, r1, c0, c1 = args.region
+        rec = np.asarray(decode_region(stream, r0, r1, c0, c1, emit_u8=True))
+    else:
+        rec = np.clip(np.asarray(decode(stream)), 0, 255).astype(np.uint8)
     rec_hwc = from_planar(rec)
     cv2.imwrite(args.output, cv2.cvtColor(rec_hwc, cv2.COLOR_RGB2BGR) if rec_hwc.ndim == 3 else rec_hwc)
     msg = f"{args.input} -> {args.output} {rec_hwc.shape}"
@@ -201,6 +207,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"],
                    help="detail-plane entropy codec: rice (fastest), rc (context-modeled "
                         "range coder, smaller), auto (per-plane smaller of the two)")
+    e.add_argument("--quality-layers", type=int, default=1,
+                   help="> 1 writes an SNR-scalable stream: any layer prefix decodes "
+                        "at a coarser effective step (progressive transmission)")
     e.set_defaults(fn=_cmd_encode)
 
     d = sub.add_parser("decode", help="decode a .wct codestream to an image")
@@ -208,6 +217,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("output")
     d.add_argument("--original", default=None, help="original image for PSNR report")
     d.add_argument("--threads", type=int, default=8)
+    d.add_argument("--max-layers", type=int, default=None,
+                   help="decode only this many quality layers of a layered stream")
+    d.add_argument("--allow-truncated", action="store_true",
+                   help="accept a byte-truncated layered stream (decode complete layers)")
+    d.add_argument("--region", nargs=4, type=int, metavar=("ROW0", "ROW1", "COL0", "COL1"),
+                   default=None, help="decode only this pixel window (spatial random access)")
     d.set_defaults(fn=_cmd_decode)
 
     i = sub.add_parser("icon", help="extract the depth-d LL icon of an image")

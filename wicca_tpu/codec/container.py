@@ -11,6 +11,23 @@ Layout (little-endian):
     u8 codec (0=rice, 1=rc) | u8 dtype_code (0=int8,1=int16) |
     u32 sub_h | u32 sub_w | u32 nbytes | entropy bitstream
 
+Quality-layered variant (``quality_layers`` > 1; SNR scalability):
+  magic b'WCT5' | <same header through the layout byte> | u8 n_layers |
+  raw LL plane |
+  plane directory, per plane (fine->coarse): u8 dtype_code | u32 sub_h | u32 sub_w |
+  per layer q = 0..n_layers-1 (coarse->fine), per plane:
+    u8 codec | u32 nbytes | entropy bitstream
+
+  Layer 0 carries the deadzone codes right-shifted (sign-magnitude) by
+  n_layers-1 bits — EXACTLY the codes of the same encode at step
+  ``base_step * 2**(n_layers-1)`` (floor(floor(x/q)/2^m) == floor(x/(q 2^m))).
+  Each refinement layer is the ternary plane r_k = c_k - 2*c_{k-1} in
+  {-1,0,1} (int8), entropy-coded like any other plane. A k-layer prefix
+  therefore decodes bit-identically to a stream encoded at the coarser step;
+  all layers reproduce the original codes exactly (lossless streams stay
+  lossless). Layers are strictly append-only in the byte stream, so a
+  truncated file/prefix decodes at reduced quality (``allow_truncated``).
+
 Detail-plane codecs (both in wicca_tpu/native/entropy.cpp, formats FROZEN):
   0 rice — adaptive Rice/Golomb with zero-run blocks; fastest.
   1 rc   — context-modeled binary range coder; 10-25% smaller on clustered
@@ -45,6 +62,7 @@ from wicca_tpu.core.quant import QuantSpec
 from wicca_tpu.native.rice import native_available, rc_decode, rc_encode, rice_decode, rice_encode
 
 _MAGIC = b"WCT4"
+_MAGIC_V5 = b"WCT5"  # quality-layered variant (written when quality_layers > 1)
 _MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
 _MAGIC_V1 = b"WCT1"  # still readable: no color fields; wide streams GLOBAL
@@ -80,22 +98,63 @@ def _encode_plane(plane: np.ndarray, codec: str) -> tuple[int, bytes]:
     return _CODEC_RICE, rice_blob
 
 
-def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto") -> bytes:
+def _split_layers(plane: np.ndarray, n_layers: int) -> list[np.ndarray]:
+    """Deadzone codes -> [c0 (plane dtype), r_1..r_{L-1} ternary int8].
+
+    Sign-magnitude bit-plane split: c_k = sign(c) * (|c| >> (L-1-k)), so c_k
+    equals the deadzone code of the same data at step*2**(L-1-k) and each
+    refinement r_k = c_k - 2*c_{k-1} is in {-1, 0, 1}."""
+    mag = np.abs(plane.astype(np.int32))
+    sg = np.sign(plane).astype(np.int32)
+    prev = sg * (mag >> (n_layers - 1))
+    subs = [prev.astype(plane.dtype)]
+    for k in range(1, n_layers):
+        cur = sg * (mag >> (n_layers - 1 - k))
+        subs.append((cur - 2 * prev).astype(np.int8))
+        prev = cur
+    return subs
+
+
+def _join_layers(subs: list[np.ndarray], dtype) -> np.ndarray:
+    """Inverse of :func:`_split_layers` over any layer prefix."""
+    c = subs[0].astype(np.int32)
+    for r in subs[1:]:
+        c = 2 * c + r
+    return c.astype(dtype)
+
+
+def _widen_codes(plane: np.ndarray, missing: int, dtype) -> np.ndarray:
+    """Integer-wavelet (lossless) streams truncated ``missing`` layers early:
+    reconstruct midpoint detail ints — |c| lies in [|c_k| 2^m, (|c_k|+1) 2^m),
+    so sign(c_k) * ((|c_k| << m) + 2^(m-1)) (0 stays 0, deadzone-style)."""
+    if missing == 0:
+        return plane.astype(dtype)
+    mag = np.abs(plane.astype(np.int32))
+    sg = np.sign(plane).astype(np.int32)
+    return (sg * ((mag << missing) + (1 << (missing - 1)))).astype(dtype)
+
+
+def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto", quality_layers: int = 1) -> bytes:
     """CodeStream -> container bytes (detail planes entropy-coded in parallel).
 
     ``codec``: 'auto' (default — per-plane smaller of rice/rc), 'rice'
     (fastest), or 'rc' (context-modeled range coder). Falls back to rice when
-    the native library is unavailable."""
+    the native library is unavailable.
+
+    ``quality_layers`` > 1 writes the SNR-scalable WCT5 variant: the stream
+    splits into that many quality layers; any layer prefix decodes at a
+    coarser effective step (see module docstring), the full set reproduces
+    the codes exactly."""
     if codec not in ("auto", "rice", "rc"):
         raise ValueError(f"codec must be auto|rice|rc, got {codec!r}")
+    if not 1 <= quality_layers <= 15:
+        raise ValueError("quality_layers must be in [1, 15]")
     ll_dtype = np.int32 if _WAVELETS[stream.wavelet] in _INT_WAVELET_IDS else np.float32
     ll = np.asarray(stream.ll, dtype=ll_dtype)
     lead = ll.shape[0] if ll.ndim == 3 else 1
     planes = [np.asarray(b) for bands in stream.details for b in bands]
-    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
-        encoded = list(pool.map(lambda p: _encode_plane(p, codec), planes))
     out = bytearray()
-    out += _MAGIC
+    out += _MAGIC_V5 if quality_layers > 1 else _MAGIC
     out += struct.pack(
         "<BBBIIffII",
         _WAVELETS[stream.wavelet],
@@ -110,20 +169,44 @@ def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto") -> byte
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
+    if quality_layers == 1:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+            encoded = list(pool.map(lambda p: _encode_plane(p, codec), planes))
+        out += ll.tobytes()
+        for plane, (codec_id, data) in zip(planes, encoded):
+            out += struct.pack(
+                "<BBIII", codec_id, _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data)
+            )
+            out += data
+        return bytes(out)
+    # WCT5 quality-layered: layer-major sections so any byte prefix covering
+    # complete layers decodes at reduced quality
+    out += struct.pack("<B", quality_layers)
     out += ll.tobytes()
-    for plane, (codec_id, data) in zip(planes, encoded):
-        out += struct.pack(
-            "<BBIII", codec_id, _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data)
-        )
+    subs = [_split_layers(p, quality_layers) for p in planes]
+    flat = [subs[i][q] for q in range(quality_layers) for i in range(len(planes))]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+        encoded = list(pool.map(lambda p: _encode_plane(p, codec), flat))
+    for plane in planes:
+        out += struct.pack("<BII", _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1])
+    for codec_id, data in encoded:
+        out += struct.pack("<BI", codec_id, len(data))
         out += data
     return bytes(out)
 
 
-def deserialize(data: bytes, threads: int = 8) -> CodeStream:
-    """Container bytes -> CodeStream (planes decoded in parallel)."""
-    if data[:4] not in (_MAGIC, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+def deserialize(
+    data: bytes, threads: int = 8, max_layers: int | None = None, allow_truncated: bool = False
+) -> CodeStream:
+    """Container bytes -> CodeStream (planes decoded in parallel).
+
+    For quality-layered (WCT5) containers, ``max_layers`` decodes only that
+    many layers — bit-identical to a stream encoded at step*2**missing.
+    ``allow_truncated`` accepts a byte PREFIX of a layered container and
+    decodes the complete layers it holds (progressive transmission)."""
+    if data[:4] not in (_MAGIC, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4}[data[:4]]
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5}[data[:4]]
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
@@ -140,22 +223,14 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
         layout = "global"
     else:
         layout = "tiled"
+    n_layers = 1
+    if version == 5:
+        (n_layers,) = struct.unpack_from("<B", data, off)
+        off += 1
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
-    metas = []
-    blobs = []
-    for _ in range(levels * 3):
-        if version >= 4:
-            codec_id, dt_code, sh, sw, nbytes = struct.unpack_from("<BBIII", data, off)
-            off += struct.calcsize("<BBIII")
-        else:
-            dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
-            off += struct.calcsize("<BIII")
-            codec_id = _CODEC_RICE
-        metas.append((codec_id, dt_code, sh, sw))
-        blobs.append(data[off : off + nbytes])
-        off += nbytes
+    n_planes = levels * 3
 
     def _dec(args):
         (codec_id, dt_code, sh, sw), blob = args
@@ -164,8 +239,66 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
             return rc_decode(blob, (lead, sh, sw), dtype)
         return rice_decode(blob, lead * sh * sw, dtype).reshape(lead, sh, sw)
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
-        planes = list(pool.map(_dec, zip(metas, blobs)))
+    if version == 5:
+        dirs = []
+        for _ in range(n_planes):
+            dt_code, sh, sw = struct.unpack_from("<BII", data, off)
+            off += struct.calcsize("<BII")
+            dirs.append((dt_code, sh, sw))
+        want = n_layers if max_layers is None else max(1, min(max_layers, n_layers))
+        metas, blobs, have = [], [], 0
+        for q in range(want):
+            layer_metas, layer_blobs = [], []
+            try:
+                for i in range(n_planes):
+                    codec_id, nbytes = struct.unpack_from("<BI", data, off)
+                    off += struct.calcsize("<BI")
+                    if off + nbytes > len(data):
+                        raise struct.error("truncated blob")
+                    dt_code, sh, sw = dirs[i]
+                    layer_metas.append((codec_id, dt_code if q == 0 else 0, sh, sw))
+                    layer_blobs.append(data[off : off + nbytes])
+                    off += nbytes
+            except struct.error:
+                if allow_truncated and have >= 1:
+                    break
+                raise ValueError(
+                    f"truncated layered container: {have}/{want} complete layers"
+                    " (pass allow_truncated=True to decode the prefix)"
+                ) from None
+            metas.extend(layer_metas)
+            blobs.extend(layer_blobs)
+            have += 1
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+            subs = list(pool.map(_dec, zip(metas, blobs)))
+        missing = n_layers - have
+        planes = []
+        for i, (dt_code, _sh, _sw) in enumerate(dirs):
+            dtype = _DTYPES_INV[dt_code]
+            c = _join_layers([subs[q * n_planes + i] for q in range(have)], dtype)
+            if wv in _INT_WAVELET_IDS:
+                # lossless stream: approximate the missing low bits (midpoint)
+                c = _widen_codes(c, missing, dtype if missing == 0 else np.int32)
+            planes.append(c)
+        if missing and wv not in _INT_WAVELET_IDS:
+            # a layer prefix IS the coarser-step encode: scale the spec
+            base_step = base_step * float(1 << missing)
+    else:
+        metas = []
+        blobs = []
+        for _ in range(n_planes):
+            if version >= 4:
+                codec_id, dt_code, sh, sw, nbytes = struct.unpack_from("<BBIII", data, off)
+                off += struct.calcsize("<BBIII")
+            else:
+                dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
+                off += struct.calcsize("<BIII")
+                codec_id = _CODEC_RICE
+            metas.append((codec_id, dt_code, sh, sw))
+            blobs.append(data[off : off + nbytes])
+            off += nbytes
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+            planes = list(pool.map(_dec, zip(metas, blobs)))
     details = tuple(tuple(planes[i * 3 : i * 3 + 3]) for i in range(levels))
     spec = QuantSpec(base_step=base_step, level_gain=level_gain)
     return CodeStream(
@@ -175,13 +308,13 @@ def deserialize(data: bytes, threads: int = 8) -> CodeStream:
     )
 
 
-def save(stream: CodeStream, path: str, threads: int = 8, codec: str = "auto") -> int:
-    data = serialize(stream, threads, codec)
+def save(stream: CodeStream, path: str, threads: int = 8, codec: str = "auto", quality_layers: int = 1) -> int:
+    data = serialize(stream, threads, codec, quality_layers)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)
 
 
-def load(path: str, threads: int = 8) -> CodeStream:
+def load(path: str, threads: int = 8, max_layers: int | None = None, allow_truncated: bool = False) -> CodeStream:
     with open(path, "rb") as f:
-        return deserialize(f.read(), threads)
+        return deserialize(f.read(), threads, max_layers=max_layers, allow_truncated=allow_truncated)
