@@ -231,10 +231,12 @@ def test_layered_lossless_stream():
 def test_truncated_prefix_decodes():
     img = _smooth_img((1, 128, 128), 23)
     stream = encode(img, levels=2, spec=QuantSpec(base_step=1.0))
-    blob = serialize(stream, quality_layers=3)
+    # checksums=False: the cut arithmetic below targets layer records, not the
+    # integrity trailer (checksummed truncation is tests/test_resilience.py)
+    blob = serialize(stream, quality_layers=3, checksums=False)
     one_layer = deserialize(blob, max_layers=1)
     # chop mid-way through layer 2's records: layer 1 must survive
-    cut = len(blob) - (len(blob) - len(serialize(stream, quality_layers=1))) // 4
+    cut = len(blob) - (len(blob) - len(serialize(stream, quality_layers=1, checksums=False))) // 4
     got = deserialize(blob[:cut], allow_truncated=True)
     assert got.spec.base_step in (2.0, 4.0)  # 1 or 2 complete layers
     import pytest

@@ -97,7 +97,7 @@ def _cmd_decode(args) -> int:
     from wicca_tpu.data.loader import from_planar
 
     stream = load(args.input, threads=args.threads, max_layers=args.max_layers,
-                  allow_truncated=args.allow_truncated)
+                  allow_truncated=args.allow_truncated, on_error=args.on_error)
     if args.region is not None:
         r0, r1, c0, c1 = args.region
         rec = np.asarray(decode_region(stream, r0, r1, c0, c1, emit_u8=True))
@@ -223,6 +223,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accept a byte-truncated layered stream (decode complete layers)")
     d.add_argument("--region", nargs=4, type=int, metavar=("ROW0", "ROW1", "COL0", "COL1"),
                    default=None, help="decode only this pixel window (spatial random access)")
+    d.add_argument("--on-error", default="raise", choices=["raise", "zero"],
+                   help="'zero' decodes around checksum-corrupt detail planes instead of failing")
     d.set_defaults(fn=_cmd_decode)
 
     i = sub.add_parser("icon", help="extract the depth-d LL icon of an image")

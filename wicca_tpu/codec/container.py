@@ -45,6 +45,19 @@ Older magics stay readable:
          routing them through the tiled inverse would mis-decode images
          larger than one (512,1024) tile at every tile seam.
 
+Integrity trailer (``checksums=True``, the default): after the last plane
+section the writer appends
+  b'WCTS' | u8 ver(1) | u32 n_units | per unit (u64 end_offset, u32 crc32) |
+  u32 self_crc
+Unit 0 is the structural prefix (header + LL plane + WCT5 plane directory);
+units 1..N are the per-plane sections (meta + entropy blob), in byte order.
+Old readers stop after the last plane and never see the trailer; files
+without one simply skip verification. Because unit *offsets* are recorded,
+corruption anywhere inside a plane section — including its length fields —
+is contained to that plane: ``deserialize(..., on_error='zero')`` drops the
+corrupt band (wavelet-codes-zero → graceful quality loss) and decodes the
+rest. Corruption in unit 0 or in the trailer itself always raises.
+
 The entropy stage runs plane-parallel on host threads (ctypes releases the
 GIL). Decoding reproduces the CodeStream bit-exactly, so container roundtrip
 + TPU decode equals direct decode.
@@ -53,7 +66,9 @@ GIL). Decoding reproduces the CodeStream bit-exactly, so container roundtrip
 from __future__ import annotations
 
 import concurrent.futures
+import logging
 import struct
+import zlib
 
 import numpy as np
 
@@ -81,6 +96,50 @@ _WAVELETS_INV = {0: "haar", 1: "db2", 2: "bior4.4", 3: "cdf97", 4: "haar_int", 5
 # float32, dtype implied by the wavelet id
 _INT_WAVELET_IDS = {4, 5}
 _CODEC_RICE, _CODEC_RC = 0, 1
+_TRAILER_MAGIC = b"WCTS"
+_TRAILER_VER = 1
+
+
+def _trailer_bytes(unit_ends: list[int]) -> bytes:
+    """Integrity trailer: per-unit (end_offset, crc) + self-CRC (module doc)."""
+    t = bytearray(_TRAILER_MAGIC)
+    t += struct.pack("<BI", _TRAILER_VER, len(unit_ends))
+    for end, crc in unit_ends:
+        t += struct.pack("<QI", end, crc)
+    t += struct.pack("<I", zlib.crc32(bytes(t)))
+    return bytes(t)
+
+
+def _read_trailer(data: bytes, n_units: int) -> list[tuple[int, int]] | None:
+    """Locate + validate the trailer from EOF; None when absent/unreadable.
+    (A damaged trailer is indistinguishable from 'no trailer written', so it
+    degrades to unverified decode rather than raising.)"""
+    size = 4 + 5 + 12 * n_units + 4
+    if len(data) < size:
+        return None
+    t = data[len(data) - size :]
+    if t[:4] != _TRAILER_MAGIC:
+        return None
+    if struct.unpack_from("<I", t, size - 4)[0] != zlib.crc32(t[: size - 4]):
+        return None
+    ver, n = struct.unpack_from("<BI", t, 4)
+    if ver != _TRAILER_VER or n != n_units:
+        return None
+    return [struct.unpack_from("<QI", t, 9 + 12 * i) for i in range(n)]
+
+
+def _scan_trailer_units(data: bytes) -> int | None:
+    """Unit count of a valid trailer at EOF, found WITHOUT trusting the
+    header (detects a corrupted levels/n_layers byte: the header-implied
+    count then disagrees with the self-validated trailer)."""
+    for n in range(4096):
+        size = 13 + 12 * n
+        if size > len(data):
+            return None
+        pos = len(data) - size
+        if data[pos : pos + 4] == _TRAILER_MAGIC and _read_trailer(data, n) is not None:
+            return n
+    return None
 
 
 def _encode_plane(plane: np.ndarray, codec: str) -> tuple[int, bytes]:
@@ -134,7 +193,13 @@ def _widen_codes(plane: np.ndarray, missing: int, dtype) -> np.ndarray:
     return (sg * ((mag << missing) + (1 << (missing - 1)))).astype(dtype)
 
 
-def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto", quality_layers: int = 1) -> bytes:
+def serialize(
+    stream: CodeStream,
+    threads: int = 8,
+    codec: str = "auto",
+    quality_layers: int = 1,
+    checksums: bool = True,
+) -> bytes:
     """CodeStream -> container bytes (detail planes entropy-coded in parallel).
 
     ``codec``: 'auto' (default — per-plane smaller of rice/rc), 'rice'
@@ -144,7 +209,11 @@ def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto", quality
     ``quality_layers`` > 1 writes the SNR-scalable WCT5 variant: the stream
     splits into that many quality layers; any layer prefix decodes at a
     coarser effective step (see module docstring), the full set reproduces
-    the codes exactly."""
+    the codes exactly.
+
+    ``checksums`` (default) appends the integrity trailer (module docstring):
+    ~12 bytes/plane; old readers ignore it, new readers verify and can
+    contain corruption to single detail planes."""
     if codec not in ("auto", "rice", "rc"):
         raise ValueError(f"codec must be auto|rice|rc, got {codec!r}")
     if not 1 <= quality_layers <= 15:
@@ -169,15 +238,25 @@ def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto", quality
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
+    units: list[tuple[int, int]] = []  # (end_offset, crc32) per unit
+
+    def _close_unit(start: int) -> None:
+        units.append((len(out), zlib.crc32(bytes(out[start:]))))
+
     if quality_layers == 1:
         with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
             encoded = list(pool.map(lambda p: _encode_plane(p, codec), planes))
         out += ll.tobytes()
+        _close_unit(0)
         for plane, (codec_id, data) in zip(planes, encoded):
+            start = len(out)
             out += struct.pack(
                 "<BBIII", codec_id, _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1], len(data)
             )
             out += data
+            _close_unit(start)
+        if checksums:
+            out += _trailer_bytes(units)
         return bytes(out)
     # WCT5 quality-layered: layer-major sections so any byte prefix covering
     # complete layers decodes at reduced quality
@@ -189,21 +268,39 @@ def serialize(stream: CodeStream, threads: int = 8, codec: str = "auto", quality
         encoded = list(pool.map(lambda p: _encode_plane(p, codec), flat))
     for plane in planes:
         out += struct.pack("<BII", _DTYPES[plane.dtype], plane.shape[-2], plane.shape[-1])
+    _close_unit(0)
     for codec_id, data in encoded:
+        start = len(out)
         out += struct.pack("<BI", codec_id, len(data))
         out += data
+        _close_unit(start)
+    if checksums:
+        out += _trailer_bytes(units)
     return bytes(out)
 
 
 def deserialize(
-    data: bytes, threads: int = 8, max_layers: int | None = None, allow_truncated: bool = False
+    data: bytes,
+    threads: int = 8,
+    max_layers: int | None = None,
+    allow_truncated: bool = False,
+    on_error: str = "raise",
 ) -> CodeStream:
     """Container bytes -> CodeStream (planes decoded in parallel).
 
     For quality-layered (WCT5) containers, ``max_layers`` decodes only that
     many layers — bit-identical to a stream encoded at step*2**missing.
     ``allow_truncated`` accepts a byte PREFIX of a layered container and
-    decodes the complete layers it holds (progressive transmission)."""
+    decodes the complete layers it holds (progressive transmission).
+
+    When the container carries an integrity trailer (written by default),
+    every section is CRC-verified before entropy decode. ``on_error='raise'``
+    (default) raises :class:`ValueError` naming the corrupt sections;
+    ``on_error='zero'`` zeroes the affected detail planes (for layered
+    streams, keeps each plane's intact layer prefix) and decodes the rest —
+    corruption of the header/LL section always raises."""
+    if on_error not in ("raise", "zero"):
+        raise ValueError(f"on_error must be raise|zero, got {on_error!r}")
     if data[:4] not in (_MAGIC, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
         raise ValueError("not a WCT container")
     version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5}[data[:4]]
@@ -231,9 +328,22 @@ def deserialize(
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
     n_planes = levels * 3
+    n_units = 1 + n_planes * (n_layers if version == 5 else 1)
+    trailer = _read_trailer(data, n_units)
+    if trailer is None:
+        scanned = _scan_trailer_units(data)
+        if scanned is not None and scanned != n_units:
+            raise ValueError(
+                f"container header corrupt: trailer records {scanned} sections,"
+                f" header implies {n_units}"
+            )
+    corrupt: list[str] = []
 
     def _dec(args):
-        (codec_id, dt_code, sh, sw), blob = args
+        meta, blob = args
+        if meta is None or blob is None:
+            return None  # corrupt section — zeroed by the caller
+        codec_id, dt_code, sh, sw = meta
         dtype = _DTYPES_INV[dt_code]
         if codec_id == _CODEC_RC:
             return rc_decode(blob, (lead, sh, sw), dtype)
@@ -247,38 +357,88 @@ def deserialize(
             dirs.append((dt_code, sh, sw))
         want = n_layers if max_layers is None else max(1, min(max_layers, n_layers))
         metas, blobs, have = [], [], 0
-        for q in range(want):
-            layer_metas, layer_blobs = [], []
-            try:
+        if trailer is not None:
+            if trailer[0][0] != off or zlib.crc32(data[:off]) != trailer[0][1]:
+                raise ValueError("container header/LL section corrupt (checksum mismatch)")
+            msz = struct.calcsize("<BI")
+            have = want
+            for q in range(want):
                 for i in range(n_planes):
-                    codec_id, nbytes = struct.unpack_from("<BI", data, off)
-                    off += struct.calcsize("<BI")
-                    if off + nbytes > len(data):
-                        raise struct.error("truncated blob")
+                    j = q * n_planes + i
+                    start, end = trailer[j][0], trailer[j + 1][0]
+                    sec = data[start:end]
                     dt_code, sh, sw = dirs[i]
-                    layer_metas.append((codec_id, dt_code if q == 0 else 0, sh, sw))
-                    layer_blobs.append(data[off : off + nbytes])
-                    off += nbytes
-            except struct.error:
-                if allow_truncated and have >= 1:
-                    break
-                raise ValueError(
-                    f"truncated layered container: {have}/{want} complete layers"
-                    " (pass allow_truncated=True to decode the prefix)"
-                ) from None
-            metas.extend(layer_metas)
-            blobs.extend(layer_blobs)
-            have += 1
+                    if zlib.crc32(sec) != trailer[j + 1][1] or len(sec) < msz:
+                        corrupt.append(f"layer {q} plane {i}")
+                        metas.append(None)
+                        blobs.append(None)
+                        continue
+                    codec_id, nbytes = struct.unpack_from("<BI", sec, 0)
+                    metas.append((codec_id, dt_code if q == 0 else 0, sh, sw))
+                    blobs.append(sec[msz : msz + nbytes])
+            if corrupt:
+                if on_error == "raise":
+                    raise ValueError(
+                        f"container corrupt in {len(corrupt)} section(s):"
+                        f" {', '.join(corrupt)} (pass on_error='zero' to decode around them)"
+                    )
+                logging.warning(
+                    f"decoding around {len(corrupt)} corrupt section(s): {', '.join(corrupt)}"
+                )
+        else:
+            for q in range(want):
+                layer_metas, layer_blobs = [], []
+                try:
+                    for i in range(n_planes):
+                        codec_id, nbytes = struct.unpack_from("<BI", data, off)
+                        off += struct.calcsize("<BI")
+                        # a truncated checksummed file may leave trailer
+                        # fragments after the last whole layer — reject them
+                        if codec_id > _CODEC_RC or off + nbytes > len(data):
+                            raise struct.error("truncated blob")
+                        dt_code, sh, sw = dirs[i]
+                        layer_metas.append((codec_id, dt_code if q == 0 else 0, sh, sw))
+                        layer_blobs.append(data[off : off + nbytes])
+                        off += nbytes
+                except struct.error:
+                    if allow_truncated and have >= 1:
+                        break
+                    raise ValueError(
+                        f"truncated layered container: {have}/{want} complete layers"
+                        " (pass allow_truncated=True to decode the prefix)"
+                    ) from None
+                metas.extend(layer_metas)
+                blobs.extend(layer_blobs)
+                have += 1
         with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
             subs = list(pool.map(_dec, zip(metas, blobs)))
         missing = n_layers - have
         planes = []
-        for i, (dt_code, _sh, _sw) in enumerate(dirs):
+        for i, (dt_code, sh, sw) in enumerate(dirs):
             dtype = _DTYPES_INV[dt_code]
-            c = _join_layers([subs[q * n_planes + i] for q in range(have)], dtype)
+            # a corrupt layer invalidates that plane's later refinements too:
+            # keep the intact prefix (refinements are deltas on earlier layers)
+            plane_subs = []
+            for q in range(have):
+                s = subs[q * n_planes + i]
+                if s is None:
+                    break
+                plane_subs.append(s)
+            miss_i = n_layers - len(plane_subs)
+            if not plane_subs:
+                planes.append(np.zeros((lead, sh, sw), dtype=dtype))
+                continue
+            c = _join_layers(plane_subs, dtype)
             if wv in _INT_WAVELET_IDS:
                 # lossless stream: approximate the missing low bits (midpoint)
-                c = _widen_codes(c, missing, dtype if missing == 0 else np.int32)
+                c = _widen_codes(c, miss_i, dtype if miss_i == 0 else np.int32)
+            elif miss_i > missing:
+                # this plane lost MORE layers than the global truncation level:
+                # midpoint-widen its codes up to the global scale, saturating
+                # into the stored dtype
+                info = np.iinfo(dtype)
+                wide = _widen_codes(c, miss_i - missing, np.int64)
+                c = np.clip(wide, info.min, info.max).astype(dtype)
             planes.append(c)
         if missing and wv not in _INT_WAVELET_IDS:
             # a layer prefix IS the coarser-step encode: scale the spec
@@ -286,19 +446,62 @@ def deserialize(
     else:
         metas = []
         blobs = []
-        for _ in range(n_planes):
-            if version >= 4:
-                codec_id, dt_code, sh, sw, nbytes = struct.unpack_from("<BBIII", data, off)
-                off += struct.calcsize("<BBIII")
-            else:
-                dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
-                off += struct.calcsize("<BIII")
-                codec_id = _CODEC_RICE
-            metas.append((codec_id, dt_code, sh, sw))
-            blobs.append(data[off : off + nbytes])
-            off += nbytes
+        if trailer is not None:
+            if trailer[0][0] != off or zlib.crc32(data[:off]) != trailer[0][1]:
+                raise ValueError("container header/LL section corrupt (checksum mismatch)")
+            msz = struct.calcsize("<BBIII")  # the trailer postdates WCT4
+            for i in range(n_planes):
+                start, end = trailer[i][0], trailer[i + 1][0]
+                sec = data[start:end]
+                if zlib.crc32(sec) != trailer[i + 1][1] or len(sec) < msz:
+                    corrupt.append(f"plane {i}")
+                    metas.append(None)
+                    blobs.append(None)
+                    continue
+                codec_id, dt_code, sh, sw, nbytes = struct.unpack_from("<BBIII", sec, 0)
+                metas.append((codec_id, dt_code, sh, sw))
+                blobs.append(sec[msz : msz + nbytes])
+            if corrupt:
+                if on_error == "raise":
+                    raise ValueError(
+                        f"container corrupt in {len(corrupt)} section(s):"
+                        f" {', '.join(corrupt)} (pass on_error='zero' to decode around them)"
+                    )
+                logging.warning(
+                    f"decoding around {len(corrupt)} corrupt section(s): {', '.join(corrupt)}"
+                )
+                # a corrupt section loses its own geometry record; the 3 bands
+                # of a level share shape/dtype, so recover from a sibling
+                for i, m in enumerate(metas):
+                    if m is not None:
+                        continue
+                    lvl0 = i - i % 3
+                    sib = next((metas[j] for j in range(lvl0, lvl0 + 3) if metas[j] is not None), None)
+                    if sib is None:
+                        raise ValueError(
+                            f"all three subbands of level {i // 3 + 1} are corrupt —"
+                            " plane geometry unrecoverable"
+                        )
+                    metas[i] = (_CODEC_RICE, sib[1], sib[2], sib[3])
+                    blobs[i] = None
+        else:
+            for _ in range(n_planes):
+                if version >= 4:
+                    codec_id, dt_code, sh, sw, nbytes = struct.unpack_from("<BBIII", data, off)
+                    off += struct.calcsize("<BBIII")
+                else:
+                    dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
+                    off += struct.calcsize("<BIII")
+                    codec_id = _CODEC_RICE
+                metas.append((codec_id, dt_code, sh, sw))
+                blobs.append(data[off : off + nbytes])
+                off += nbytes
         with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
             planes = list(pool.map(_dec, zip(metas, blobs)))
+        for i, p in enumerate(planes):
+            if p is None:  # corrupt section -> zero band (graceful quality loss)
+                _, dt_code, sh, sw = metas[i]
+                planes[i] = np.zeros((lead, sh, sw), dtype=_DTYPES_INV[dt_code])
     details = tuple(tuple(planes[i * 3 : i * 3 + 3]) for i in range(levels))
     spec = QuantSpec(base_step=base_step, level_gain=level_gain)
     return CodeStream(
@@ -308,13 +511,28 @@ def deserialize(
     )
 
 
-def save(stream: CodeStream, path: str, threads: int = 8, codec: str = "auto", quality_layers: int = 1) -> int:
-    data = serialize(stream, threads, codec, quality_layers)
+def save(
+    stream: CodeStream,
+    path: str,
+    threads: int = 8,
+    codec: str = "auto",
+    quality_layers: int = 1,
+    checksums: bool = True,
+) -> int:
+    data = serialize(stream, threads, codec, quality_layers, checksums=checksums)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)
 
 
-def load(path: str, threads: int = 8, max_layers: int | None = None, allow_truncated: bool = False) -> CodeStream:
+def load(
+    path: str,
+    threads: int = 8,
+    max_layers: int | None = None,
+    allow_truncated: bool = False,
+    on_error: str = "raise",
+) -> CodeStream:
     with open(path, "rb") as f:
-        return deserialize(f.read(), threads, max_layers=max_layers, allow_truncated=allow_truncated)
+        return deserialize(
+            f.read(), threads, max_layers=max_layers, allow_truncated=allow_truncated, on_error=on_error
+        )
