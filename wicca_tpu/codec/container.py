@@ -78,6 +78,11 @@ from wicca_tpu.native.rice import native_available, rc_decode, rc_encode, rice_d
 
 _MAGIC = b"WCT4"
 _MAGIC_V5 = b"WCT5"  # quality-layered variant (written when quality_layers > 1)
+# hi-bit-depth variant (written when bit_depth != 8): header gains
+# u8 bit_depth + u8 n_layers after the layout byte (n_layers == 1 -> flat
+# WCT4-style sections, > 1 -> WCT5-style layered sections); detail planes
+# may be int32 (dtype code 2)
+_MAGIC_V6 = b"WCT6"
 _MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
 _MAGIC_V1 = b"WCT1"  # still readable: no color fields; wide streams GLOBAL
@@ -88,8 +93,8 @@ _LAYOUTS_INV = {v: k for k, v in _LAYOUTS.items()}
 # WCT1-era wide float wavelets were encoded with the whole-image lifting
 # transform (wicca_tpu.core.lifting), not the tile-local Pallas kernels
 _V1_GLOBAL_WAVELET_IDS = {1, 2, 3}  # db2, bior4.4, cdf97
-_DTYPES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1}
-_DTYPES_INV = {0: np.int8, 1: np.int16}
+_DTYPES = {np.dtype(np.int8): 0, np.dtype(np.int16): 1, np.dtype(np.int32): 2}
+_DTYPES_INV = {0: np.int8, 1: np.int16, 2: np.int32}
 _WAVELETS = {"haar": 0, "db2": 1, "bior4.4": 2, "cdf97": 3, "haar_int": 4, "legall5.3": 5, "cdf53": 5}
 _WAVELETS_INV = {0: "haar", 1: "db2", 2: "bior4.4", 3: "cdf97", 4: "haar_int", 5: "legall5.3"}
 # integer (lossless) streams carry an int32 LL plane; same 4-byte stride as
@@ -223,7 +228,11 @@ def serialize(
     lead = ll.shape[0] if ll.ndim == 3 else 1
     planes = [np.asarray(b) for bands in stream.details for b in bands]
     out = bytearray()
-    out += _MAGIC_V5 if quality_layers > 1 else _MAGIC
+    bit_depth = getattr(stream, "bit_depth", 8)
+    if bit_depth != 8:
+        out += _MAGIC_V6
+    else:
+        out += _MAGIC_V5 if quality_layers > 1 else _MAGIC
     out += struct.pack(
         "<BBBIIffII",
         _WAVELETS[stream.wavelet],
@@ -238,6 +247,8 @@ def serialize(
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
+    if bit_depth != 8:
+        out += struct.pack("<BB", bit_depth, quality_layers)
     units: list[tuple[int, int]] = []  # (end_offset, crc32) per unit
 
     def _close_unit(start: int) -> None:
@@ -258,9 +269,10 @@ def serialize(
         if checksums:
             out += _trailer_bytes(units)
         return bytes(out)
-    # WCT5 quality-layered: layer-major sections so any byte prefix covering
-    # complete layers decodes at reduced quality
-    out += struct.pack("<B", quality_layers)
+    # WCT5/6 quality-layered: layer-major sections so any byte prefix covering
+    # complete layers decodes at reduced quality (v6 already wrote n_layers)
+    if bit_depth == 8:
+        out += struct.pack("<B", quality_layers)
     out += ll.tobytes()
     subs = [_split_layers(p, quality_layers) for p in planes]
     flat = [subs[i][q] for q in range(quality_layers) for i in range(len(planes))]
@@ -301,9 +313,9 @@ def deserialize(
     corruption of the header/LL section always raises."""
     if on_error not in ("raise", "zero"):
         raise ValueError(f"on_error must be raise|zero, got {on_error!r}")
-    if data[:4] not in (_MAGIC, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+    if data[:4] not in (_MAGIC, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5}[data[:4]]
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6}[data[:4]]
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
@@ -321,14 +333,19 @@ def deserialize(
     else:
         layout = "tiled"
     n_layers = 1
+    bit_depth = 8
     if version == 5:
         (n_layers,) = struct.unpack_from("<B", data, off)
         off += 1
+    elif version == 6:
+        bit_depth, n_layers = struct.unpack_from("<BB", data, off)
+        off += 2
+    layered = version == 5 or (version == 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
     n_planes = levels * 3
-    n_units = 1 + n_planes * (n_layers if version == 5 else 1)
+    n_units = 1 + n_planes * (n_layers if layered else 1)
     trailer = _read_trailer(data, n_units)
     if trailer is None:
         scanned = _scan_trailer_units(data)
@@ -349,7 +366,7 @@ def deserialize(
             return rc_decode(blob, (lead, sh, sw), dtype)
         return rice_decode(blob, lead * sh * sw, dtype).reshape(lead, sh, sw)
 
-    if version == 5:
+    if layered:
         dirs = []
         for _ in range(n_planes):
             dt_code, sh, sw = struct.unpack_from("<BII", data, off)
@@ -507,7 +524,7 @@ def deserialize(
     return CodeStream(
         ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
         wavelet=_WAVELETS_INV[wv], color=_COLORS_INV[color], chroma_gain=float(chroma_gain),
-        layout=layout,
+        layout=layout, bit_depth=int(bit_depth),
     )
 
 

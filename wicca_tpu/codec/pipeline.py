@@ -30,7 +30,7 @@ from wicca_tpu.ops.dwt_pallas import (
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ll", "details"],
-    meta_fields=["spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain", "layout"],
+    meta_fields=["spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain", "layout", "bit_depth"],
 )
 @dataclasses.dataclass(frozen=True)
 class CodeStream:
@@ -54,6 +54,7 @@ class CodeStream:
     color: str = "none"
     chroma_gain: float = 1.0
     layout: str = "tiled"
+    bit_depth: int = 8  # sample precision: 8 (uint8) .. 16 (uint16)
 
     def num_bytes(self) -> int:
         n = self.ll.size * self.ll.dtype.itemsize
@@ -63,7 +64,10 @@ class CodeStream:
         return n
 
 
-@partial(jax.jit, static_argnames=("levels", "spec", "mode", "constant", "wavelet", "color", "chroma_gain"))
+@partial(
+    jax.jit,
+    static_argnames=("levels", "spec", "mode", "constant", "wavelet", "color", "chroma_gain", "bit_depth"),
+)
 def encode(
     image: jax.Array,
     levels: int = 5,
@@ -73,6 +77,7 @@ def encode(
     wavelet: str = "haar",
     color: str = "none",
     chroma_gain: float = 1.0,
+    bit_depth: int | None = None,
 ) -> CodeStream:
     """Planar ``(..., H, W)`` uint8/float -> CodeStream.
 
@@ -89,7 +94,19 @@ def encode(
     reversible color transform first — the lossless guarantee holds and the
     decorrelated planes entropy-code smaller. ``color='ict'`` (float
     wavelets) applies BT.601 YCbCr; ``chroma_gain`` > 1 quantizes Cb/Cr
-    that much coarser (the classic perceptual allocation)."""
+    that much coarser (the classic perceptual allocation).
+
+    ``bit_depth`` sets the sample precision (JPEG2000-style high-bit-depth
+    support for medical/scientific imagery): default is inferred from the
+    input dtype (uint16 -> 16, else 8). Depths 9..16 route through the
+    whole-image XLA lifting path with int32 detail codes (exact for the
+    reversible wavelets — lossless uint16 roundtrips bit-exactly); the
+    fused Pallas kernels stay the 8-bit fast path. ``decode(emit_u8=True)``
+    on a hi-depth stream emits uint16 clipped to ``2**bit_depth - 1``."""
+    if bit_depth is None:
+        bit_depth = 16 if image.dtype == jnp.uint16 else 8
+    if not 8 <= bit_depth <= 16:
+        raise ValueError(f"bit_depth must be in [8, 16], got {bit_depth}")
     if color not in ("none", "rct", "ict"):
         raise ValueError(f"color must be none|rct|ict, got {color!r}")
     if color != "none" and (image.ndim < 3 or image.shape[-3] != 3):
@@ -116,7 +133,30 @@ def encode(
             x = x * jnp.array([1.0, 1.0 / chroma_gain, 1.0 / chroma_gain], jnp.float32).reshape(3, 1, 1)
     details = []
     layout = "tiled"
-    if wavelet in ("legall5.3", "haar_int"):
+    if bit_depth != 8:
+        # hi-depth: whole-image XLA lifting, int32 codes (the Pallas kernels
+        # are specialized to 8-bit int16/int8 emission; see docstring)
+        from wicca_tpu.core.lifting import dwt2_level_lifting, lifting_wavelets
+        from wicca_tpu.core.quant import quantize_deadzone
+
+        if wavelet not in lifting_wavelets():
+            raise ValueError(
+                f"bit_depth {bit_depth} needs a lifting wavelet "
+                f"({', '.join(sorted(lifting_wavelets()))}); for Haar use 'haar_int'"
+            )
+        layout = "global"
+        if _is_int_wavelet(wavelet):
+            ll = x.astype(jnp.int32)
+            for _ in range(levels):
+                ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
+                details.append(tuple(b.astype(jnp.int32) for b in (lh, hl, hh)))
+        else:
+            ll = x.astype(jnp.float32)
+            for lvl in range(1, levels + 1):
+                ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
+                step = spec.detail_step(lvl)
+                details.append(tuple(quantize_deadzone(b, step, jnp.int32) for b in (lh, hl, hh)))
+    elif wavelet in ("legall5.3", "haar_int"):
         # fused tile-local Pallas passes (JPEG2000-style independent tiles
         # for 5/3; the haar_int S-transform is pair-local so its tiling is
         # invisible — coefficients are bit-identical to the whole-image
@@ -168,6 +208,7 @@ def encode(
     return CodeStream(
         ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig,
         wavelet=wavelet, color=color, chroma_gain=chroma_gain, layout=layout,
+        bit_depth=bit_depth,
     )
 
 
@@ -182,12 +223,15 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     next-finer level's subband extent before combining."""
     # with a color transform the in-kernel u8 emission must wait until after
     # the inverse color rotation (shared tail below)
-    u8_in = emit_u8 and stream.color == "none"
-    tiled = stream.layout == "tiled"
+    u8_in = emit_u8 and stream.color == "none" and stream.bit_depth == 8
+    tiled = stream.layout == "tiled"  # hi-depth streams are always 'global'
     x = stream.ll
     # haar_int is pair-local, so the fused kernel decodes BOTH layouts
-    # bit-identically (old global-layout streams included)
-    if stream.wavelet == "haar_int" or (stream.wavelet in ("legall5.3", "cdf53") and tiled):
+    # bit-identically (old global-layout streams included); hi-depth streams
+    # carry int32 codes and take the generic lifting branches below
+    if stream.bit_depth == 8 and (
+        stream.wavelet == "haar_int" or (stream.wavelet in ("legall5.3", "cdf53") and tiled)
+    ):
         from wicca_tpu.ops.dwt53_pallas import idwt53_multilevel_pallas
 
         filt = "haar_int" if stream.wavelet == "haar_int" else "legall5.3"
@@ -283,20 +327,29 @@ def _undo_color(stream: CodeStream, x: jax.Array) -> jax.Array:
     return x
 
 
+def _emit_native(stream: CodeStream, x: jax.Array) -> jax.Array:
+    """Clip/cast to the stream's native unsigned sample type (uint8, or
+    uint16 for hi-depth streams)."""
+    peak = (1 << stream.bit_depth) - 1
+    dt = jnp.uint8 if stream.bit_depth <= 8 else jnp.uint16
+    return jnp.clip(x, 0, peak).astype(dt)
+
+
 def _finish_decode(stream: CodeStream, x: jax.Array, emit_u8: bool) -> jax.Array:
     """Shared decode tail: inverse color rotation, then clip/cast if the
     kernel did not already emit uint8."""
     x = _undo_color(stream, x)
-    if emit_u8 and x.dtype != jnp.uint8:
-        x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+    if emit_u8 and x.dtype not in (jnp.uint8, jnp.uint16):
+        x = _emit_native(stream, x)
     return unpad(x, *stream.orig_shape)
 
 
 def icon_from_stream(stream: CodeStream) -> jax.Array:
-    """uint8 icon straight from the coarse band (free at decode time).
-    Color-transformed streams get the inverse rotation applied to the LL
-    (per-pixel linear, so the coarse band rotates the same way)."""
-    return jnp.clip(_undo_color(stream, stream.ll), 0, 255).astype(jnp.uint8)
+    """Native-dtype icon straight from the coarse band (free at decode time;
+    uint8, or uint16 for hi-depth streams). Color-transformed streams get the
+    inverse rotation applied to the LL (per-pixel linear, so the coarse band
+    rotates the same way)."""
+    return _emit_native(stream, _undo_color(stream, stream.ll))
 
 
 def compression_ratio(stream: CodeStream) -> float:
@@ -451,7 +504,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
-            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+            x = _emit_native(stream, x)
         return x
     if _is_int_wavelet(stream.wavelet):
         from wicca_tpu.core.lifting import idwt2_level_lifting
@@ -464,7 +517,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
-            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+            x = _emit_native(stream, x)
         return x
     if stream.wavelet in ("bior4.4", "cdf97", "db2") and tiled:
         from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
@@ -490,7 +543,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
-            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+            x = _emit_native(stream, x)
         return x
     if stream.wavelet != "haar":
         from wicca_tpu.core.lifting import idwt2_level_lifting
@@ -511,7 +564,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
         if emit_u8:
-            x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+            x = _emit_native(stream, x)
         return x
     from wicca_tpu.ops import dwt_pallas as _dp
     from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
@@ -541,5 +594,5 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
     x = _undo_color(stream, x)
     x = unpad(x, out_h, out_w)
     if emit_u8:
-        x = jnp.clip(x, 0, 255).astype(jnp.uint8)
+        x = _emit_native(stream, x)
     return x

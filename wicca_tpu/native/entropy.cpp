@@ -170,10 +170,14 @@ inline uint32_t get_gamma(BitReader& br) {
 
 template <int RAWBITS>
 inline void put_rice(BitWriter& bw, uint32_t u, int k) {
+    // escape raw width: zigzag of a RAWBITS-wide signed value needs
+    // RAWBITS+1 bits, except int32 whose zigzag wraps into exactly 32
+    // (also the BitWriter/BitReader single-put ceiling)
+    constexpr int RB = RAWBITS < 32 ? RAWBITS + 1 : 32;
     uint32_t q = u >> k;
     if (q >= ESCAPE_Q) {
         bw.put((1u << ESCAPE_Q) - 1u, ESCAPE_Q);  // cap_q ones
-        bw.put(u, RAWBITS + 1);                   // raw zigzag value
+        bw.put(u, RB);                            // raw zigzag value
     } else {
         int n = static_cast<int>(q) + 1 + k;
         uint32_t low = k ? (u & ((1u << k) - 1u)) : 0u;
@@ -188,8 +192,9 @@ inline void put_rice(BitWriter& bw, uint32_t u, int k) {
 
 template <int RAWBITS>
 uint32_t get_rice(BitReader& br, int k) {
+    constexpr int RB = RAWBITS < 32 ? RAWBITS + 1 : 32;
     uint32_t q = br.get_unary(ESCAPE_Q);
-    if (q >= ESCAPE_Q) return br.get(RAWBITS + 1);
+    if (q >= ESCAPE_Q) return br.get(RB);
     uint32_t low = k ? br.get(k) : 0;
     return (q << k) | low;
 }
@@ -549,6 +554,23 @@ size_t wicca_rc_encode_i16(const int16_t* codes, size_t planes, size_t h, size_t
 size_t wicca_rc_decode_i16(const uint8_t* in, size_t len, int16_t* codes, size_t planes,
                            size_t h, size_t w) {
     return rc::decode_impl<int16_t>(in, len, codes, planes, h, w);
+}
+
+// int32 planes: the high-bit-depth (> 8 bpp) codec path. New symbols + a new
+// escape width — the i8/i16 bitstreams above are untouched (frozen).
+size_t wicca_rice_encode_i32(const int32_t* codes, size_t n, uint8_t* out, size_t cap) {
+    return encode_impl<int32_t, 32>(codes, n, out, cap);
+}
+size_t wicca_rice_decode_i32(const uint8_t* in, size_t len, int32_t* codes, size_t n) {
+    return decode_impl<int32_t, 32>(in, len, codes, n);
+}
+size_t wicca_rc_encode_i32(const int32_t* codes, size_t planes, size_t h, size_t w,
+                           uint8_t* out, size_t cap) {
+    return rc::encode_impl<int32_t>(codes, planes, h, w, out, cap);
+}
+size_t wicca_rc_decode_i32(const uint8_t* in, size_t len, int32_t* codes, size_t planes,
+                           size_t h, size_t w) {
+    return rc::decode_impl<int32_t>(in, len, codes, planes, h, w);
 }
 
 }  // extern "C"

@@ -47,6 +47,10 @@ def _load():
                 ("wicca_rc_decode_i8", [_p, _z, _p, _z, _z, _z]),
                 ("wicca_rc_encode_i16", [_p, _z, _z, _z, _p, _z]),
                 ("wicca_rc_decode_i16", [_p, _z, _p, _z, _z, _z]),
+                ("wicca_rice_encode_i32", [_p, _z, _p, _z]),
+                ("wicca_rice_decode_i32", [_p, _z, _p, _z]),
+                ("wicca_rc_encode_i32", [_p, _z, _z, _z, _p, _z]),
+                ("wicca_rc_decode_i32", [_p, _z, _p, _z, _z, _z]),
             ]:
                 fn = getattr(lib, name)
                 fn.argtypes = argt
@@ -72,20 +76,32 @@ def _unzigzag(u: np.ndarray) -> np.ndarray:
     return ((u >> 1).astype(np.int32)) ^ -(u & 1).astype(np.int32)
 
 
+_RICE_FNS = {
+    np.dtype(np.int8): ("wicca_rice_encode_i8", "wicca_rice_decode_i8", 3),
+    np.dtype(np.int16): ("wicca_rice_encode_i16", "wicca_rice_decode_i16", 4),
+    np.dtype(np.int32): ("wicca_rice_encode_i32", "wicca_rice_decode_i32", 7),
+}
+_RC_FNS = {
+    np.dtype(np.int8): ("wicca_rc_encode_i8", "wicca_rc_decode_i8"),
+    np.dtype(np.int16): ("wicca_rc_encode_i16", "wicca_rc_decode_i16"),
+    np.dtype(np.int32): ("wicca_rc_encode_i32", "wicca_rc_decode_i32"),
+}
+
+
 def rice_encode(codes: np.ndarray) -> bytes:
-    """Entropy-encode an int8/int16 code plane to a compact bytestring."""
+    """Entropy-encode an int8/int16/int32 code plane to a compact bytestring."""
     codes = np.ascontiguousarray(codes)
-    if codes.dtype not in (np.int8, np.int16):
-        raise TypeError(f"codes must be int8/int16, got {codes.dtype}")
+    if codes.dtype not in _RICE_FNS:
+        raise TypeError(f"codes must be int8/int16/int32, got {codes.dtype}")
     lib = _load()
     flat = codes.ravel()
     if flat.size == 0:
         return b""
     if lib is not None:
-        cap = flat.size * (4 if codes.dtype == np.int16 else 3) + 4096
+        enc_name, _, per = _RICE_FNS[codes.dtype]
+        cap = flat.size * per + 4096
         out = np.empty(cap, dtype=np.uint8)  # no zero-fill (create_string_buffer memsets)
-        fn = lib.wicca_rice_encode_i8 if codes.dtype == np.int8 else lib.wicca_rice_encode_i16
-        n = fn(
+        n = getattr(lib, enc_name)(
             flat.ctypes.data_as(ctypes.c_char_p),
             flat.size,
             out.ctypes.data_as(ctypes.c_char_p),
@@ -94,8 +110,10 @@ def rice_encode(codes: np.ndarray) -> bytes:
         if n == 0:
             raise RuntimeError("rice encode overflow")
         return out[:n].tobytes()
-    # numpy fallback: varint-free simple scheme (zigzag + raw 16-bit) —
+    # numpy fallback: varint-free simple scheme (zigzag + raw 16/32-bit) —
     # correctness-only path for environments without a compiler
+    if codes.dtype == np.int32:
+        return b"RAW1" + _zigzag(flat).astype(np.uint32).tobytes()
     u = _zigzag(flat).astype(np.uint16)
     return b"RAW0" + u.tobytes()
 
@@ -110,8 +128,8 @@ def rc_encode(codes: np.ndarray) -> bytes:
     :func:`native_available` is False.
     """
     codes = np.ascontiguousarray(codes)
-    if codes.dtype not in (np.int8, np.int16):
-        raise TypeError(f"codes must be int8/int16, got {codes.dtype}")
+    if codes.dtype not in _RC_FNS:
+        raise TypeError(f"codes must be int8/int16/int32, got {codes.dtype}")
     if codes.ndim == 2:
         codes = codes[None]
     if codes.ndim != 3:
@@ -123,8 +141,8 @@ def rc_encode(codes: np.ndarray) -> bytes:
         raise RuntimeError("rc codec requires the native library")
     planes, h, w = codes.shape
     cap = codes.size * codes.dtype.itemsize * 2 + 4096
+    fn = getattr(lib, _RC_FNS[codes.dtype][0])
     out = np.empty(cap, dtype=np.uint8)
-    fn = lib.wicca_rc_encode_i8 if codes.dtype == np.int8 else lib.wicca_rc_encode_i16
     n = fn(codes.ctypes.data_as(ctypes.c_char_p), planes, h, w, out.ctypes.data_as(ctypes.c_char_p), cap)
     if n == 0:
         raise RuntimeError("rc encode overflow")
@@ -143,7 +161,7 @@ def rc_decode(data: bytes, shape: tuple, dtype=np.int8) -> np.ndarray:
     lib = _load()
     if lib is None:
         raise RuntimeError("rc codec requires the native library")
-    fn = lib.wicca_rc_decode_i8 if dtype == np.int8 else lib.wicca_rc_decode_i16
+    fn = getattr(lib, _RC_FNS[np.dtype(dtype)][1])
     used = fn(data, len(data), out.ctypes.data_as(ctypes.c_char_p), planes, h, w)
     if used == 0:
         raise RuntimeError("rc decode error")
@@ -157,10 +175,13 @@ def rice_decode(data: bytes, n: int, dtype=np.int8) -> np.ndarray:
     if data[:4] == b"RAW0":
         u = np.frombuffer(data[4:], dtype=np.uint16, count=n)
         return _unzigzag(u).astype(dtype)
+    if data[:4] == b"RAW1":
+        u = np.frombuffer(data[4:], dtype=np.uint32, count=n)
+        return _unzigzag(u).astype(dtype)
     if lib is None:
         raise RuntimeError("native stream but native codec unavailable")
     out = np.empty(n, dtype=dtype)
-    fn = lib.wicca_rice_decode_i8 if dtype == np.int8 else lib.wicca_rice_decode_i16
+    fn = getattr(lib, _RICE_FNS[dtype][1])
     used = fn(data, len(data), out.ctypes.data_as(ctypes.c_char_p), n)
     if used == 0 and n > 0:
         raise RuntimeError("rice decode error")
