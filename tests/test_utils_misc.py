@@ -126,3 +126,28 @@ def test_compat_namespace():
     padded = get_padded_copy(img, 8)
     assert padded.shape == (16, 16, 3)
     np.testing.assert_array_equal(padded[:9, :13], img)
+
+
+def test_ms_ssim_basic():
+    """MS-SSIM: 1.0 for identical images, ordered with distortion severity,
+    graceful scale reduction for small images."""
+    import numpy as np
+    from wicca_tpu.core.metrics import ms_ssim, ssim
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    x = np.clip(128 + 70 * np.sin(xx / 13) + 60 * np.cos(yy / 17), 0, 255)
+    assert abs(float(ms_ssim(x, x)) - 1.0) < 1e-5
+    mild = np.clip(x + rng.normal(0, 4, x.shape), 0, 255)
+    harsh = np.clip(x + rng.normal(0, 40, x.shape), 0, 255)
+    m_mild, m_harsh = float(ms_ssim(x, mild)), float(ms_ssim(x, harsh))
+    assert 0 < m_harsh < m_mild < 1.0
+    # tiny image: fewer scales, still defined and near single-scale ssim order
+    t = x[:16, :16]
+    tn = np.clip(t + rng.normal(0, 10, t.shape), 0, 255)
+    v = float(ms_ssim(t, tn))
+    assert 0 < v <= 1.0
+    # batch/channel leading axes work like ssim's
+    xb = np.stack([x, mild])
+    assert np.isfinite(float(ms_ssim(xb, xb + 1.0)))
+    del ssim

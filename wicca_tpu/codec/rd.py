@@ -13,7 +13,7 @@ import numpy as np
 
 from wicca_tpu.codec.container import serialize
 from wicca_tpu.codec.pipeline import decode, encode, estimated_entropy_bytes
-from wicca_tpu.core.metrics import psnr, ssim
+from wicca_tpu.core.metrics import ms_ssim, psnr, ssim
 from wicca_tpu.core.quant import QuantSpec
 
 
@@ -31,6 +31,7 @@ def rd_point(image, step: float, levels: int = 5, wavelet: str = "haar", actual_
         "step": step,
         "psnr_db": round(float(psnr(rec, x.astype(np.float32))), 3),
         "ssim": round(float(ssim(rec, x.astype(np.float32))), 4),
+        "ms_ssim": round(float(ms_ssim(rec, x.astype(np.float32))), 4),
         "bpp_entropy": round(8.0 * estimated_entropy_bytes(stream) / n_px, 4),
     }
     if actual_bytes:
