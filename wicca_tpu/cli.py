@@ -82,6 +82,14 @@ def _cmd_encode(args) -> int:
             planar, levels=args.levels, spec=QuantSpec(base_step=args.step),
             wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
         )
+    if args.roi is not None:
+        from wicca_tpu.codec import apply_roi
+
+        r0, r1, c0, c1 = args.roi
+        mask = np.zeros(stream.orig_shape, dtype=bool)
+        mask[r0:r1, c0:c1] = True
+        stream = apply_roi(stream, mask, bg_shift=args.roi_bg_shift)
+        note += f"  [ROI [{r0}:{r1}, {c0}:{c1}), guard {stream.roi_shift} bits, bg -{args.roi_bg_shift} bits]"
     nbytes = save(stream, args.output, threads=args.threads, codec=args.codec,
                   quality_layers=args.quality_layers)
     raw = int(np.prod(image.shape))
@@ -207,6 +215,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"],
                    help="detail-plane entropy codec: rice (fastest), rc (context-modeled "
                         "range coder, smaller), auto (per-plane smaller of the two)")
+    e.add_argument("--roi", nargs=4, type=int, metavar=("ROW0", "ROW1", "COL0", "COL1"),
+                   default=None, help="region of interest kept at full fidelity (maxshift)")
+    e.add_argument("--roi-bg-shift", type=int, default=2,
+                   help="magnitude bits dropped outside the ROI (~6 dB each; 0 = reorder only)")
     e.add_argument("--quality-layers", type=int, default=1,
                    help="> 1 writes an SNR-scalable stream: any layer prefix decodes "
                         "at a coarser effective step (progressive transmission)")

@@ -11,3 +11,4 @@ from wicca_tpu.codec.pipeline import (
     icon_from_stream,
 )
 from wicca_tpu.codec.rd import encode_to_bpp, encode_to_psnr, plot_rd_curve, rd_curve, rd_point
+from wicca_tpu.codec.roi import apply_roi

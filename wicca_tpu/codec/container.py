@@ -78,10 +78,11 @@ from wicca_tpu.native.rice import native_available, rc_decode, rc_encode, rice_d
 
 _MAGIC = b"WCT4"
 _MAGIC_V5 = b"WCT5"  # quality-layered variant (written when quality_layers > 1)
-# hi-bit-depth variant (written when bit_depth != 8): header gains
-# u8 bit_depth + u8 n_layers after the layout byte (n_layers == 1 -> flat
-# WCT4-style sections, > 1 -> WCT5-style layered sections); detail planes
-# may be int32 (dtype code 2)
+# extended-header variant (written when bit_depth != 8 or the stream is
+# ROI-coded): after the layout byte the header gains
+# u8 bit_depth | u8 n_layers | u8 roi_shift | u8 bg_shift
+# (n_layers == 1 -> flat WCT4-style sections, > 1 -> WCT5-style layered
+# sections); detail planes may be int32 (dtype code 2)
 _MAGIC_V6 = b"WCT6"
 _MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
@@ -229,7 +230,10 @@ def serialize(
     planes = [np.asarray(b) for bands in stream.details for b in bands]
     out = bytearray()
     bit_depth = getattr(stream, "bit_depth", 8)
-    if bit_depth != 8:
+    roi_shift = getattr(stream, "roi_shift", 0)
+    bg_shift = getattr(stream, "bg_shift", 0)
+    v6 = bit_depth != 8 or roi_shift > 0
+    if v6:
         out += _MAGIC_V6
     else:
         out += _MAGIC_V5 if quality_layers > 1 else _MAGIC
@@ -247,8 +251,8 @@ def serialize(
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
-    if bit_depth != 8:
-        out += struct.pack("<BB", bit_depth, quality_layers)
+    if v6:
+        out += struct.pack("<BBBB", bit_depth, quality_layers, roi_shift, bg_shift)
     units: list[tuple[int, int]] = []  # (end_offset, crc32) per unit
 
     def _close_unit(start: int) -> None:
@@ -271,7 +275,7 @@ def serialize(
         return bytes(out)
     # WCT5/6 quality-layered: layer-major sections so any byte prefix covering
     # complete layers decodes at reduced quality (v6 already wrote n_layers)
-    if bit_depth == 8:
+    if not v6:
         out += struct.pack("<B", quality_layers)
     out += ll.tobytes()
     subs = [_split_layers(p, quality_layers) for p in planes]
@@ -334,12 +338,13 @@ def deserialize(
         layout = "tiled"
     n_layers = 1
     bit_depth = 8
+    roi_shift = bg_shift = 0
     if version == 5:
         (n_layers,) = struct.unpack_from("<B", data, off)
         off += 1
     elif version == 6:
-        bit_depth, n_layers = struct.unpack_from("<BB", data, off)
-        off += 2
+        bit_depth, n_layers, roi_shift, bg_shift = struct.unpack_from("<BBBB", data, off)
+        off += 4
     layered = version == 5 or (version == 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
@@ -430,6 +435,12 @@ def deserialize(
         with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
             subs = list(pool.map(_dec, zip(metas, blobs)))
         missing = n_layers - have
+        if roi_shift and missing >= roi_shift:
+            raise ValueError(
+                f"ROI stream truncated beyond its {roi_shift} guard bits"
+                f" ({missing} layers missing) — ROI/background codes are no"
+                " longer separable by magnitude"
+            )
         planes = []
         for i, (dt_code, sh, sw) in enumerate(dirs):
             dtype = _DTYPES_INV[dt_code]
@@ -442,11 +453,16 @@ def deserialize(
                     break
                 plane_subs.append(s)
             miss_i = n_layers - len(plane_subs)
-            if not plane_subs:
+            if not plane_subs or (roi_shift and miss_i > missing):
+                # fully corrupt — or, for an ROI stream, partially corrupt:
+                # a per-plane deeper prefix is incoherent in the shifted
+                # domain (the maxshift threshold is global), so drop the band
                 planes.append(np.zeros((lead, sh, sw), dtype=dtype))
                 continue
             c = _join_layers(plane_subs, dtype)
-            if wv in _INT_WAVELET_IDS:
+            if roi_shift:
+                pass  # truncation folds into roi/bg shifts below, not codes
+            elif wv in _INT_WAVELET_IDS:
                 # lossless stream: approximate the missing low bits (midpoint)
                 c = _widen_codes(c, miss_i, dtype if miss_i == 0 else np.int32)
             elif miss_i > missing:
@@ -457,9 +473,18 @@ def deserialize(
                 wide = _widen_codes(c, miss_i - missing, np.int64)
                 c = np.clip(wide, info.min, info.max).astype(dtype)
             planes.append(c)
-        if missing and wv not in _INT_WAVELET_IDS:
-            # a layer prefix IS the coarser-step encode: scale the spec
-            base_step = base_step * float(1 << missing)
+        if missing:
+            if roi_shift:
+                # shifted-domain truncation: ROI codes spent `missing` of
+                # their guard bits (still exact after >> (roi_shift-missing));
+                # background lost `missing` real bits (midpoint-widened by the
+                # decoder's bg_shift). base_step stays UNSCALED — the shifts
+                # carry the whole adjustment.
+                roi_shift -= missing
+                bg_shift += missing
+            elif wv not in _INT_WAVELET_IDS:
+                # a layer prefix IS the coarser-step encode: scale the spec
+                base_step = base_step * float(1 << missing)
     else:
         metas = []
         blobs = []
@@ -524,7 +549,7 @@ def deserialize(
     return CodeStream(
         ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
         wavelet=_WAVELETS_INV[wv], color=_COLORS_INV[color], chroma_gain=float(chroma_gain),
-        layout=layout, bit_depth=int(bit_depth),
+        layout=layout, bit_depth=int(bit_depth), roi_shift=int(roi_shift), bg_shift=int(bg_shift),
     )
 
 

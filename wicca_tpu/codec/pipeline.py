@@ -30,7 +30,10 @@ from wicca_tpu.ops.dwt_pallas import (
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ll", "details"],
-    meta_fields=["spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain", "layout", "bit_depth"],
+    meta_fields=[
+        "spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain",
+        "layout", "bit_depth", "roi_shift", "bg_shift",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class CodeStream:
@@ -55,6 +58,11 @@ class CodeStream:
     chroma_gain: float = 1.0
     layout: str = "tiled"
     bit_depth: int = 8  # sample precision: 8 (uint8) .. 16 (uint16)
+    # maxshift ROI scaling (codec.roi.apply_roi): codes with magnitude
+    # >= 2**roi_shift are region-of-interest (stored << roi_shift, exact);
+    # the rest are background (stored >> bg_shift, i.e. 2**bg_shift coarser)
+    roi_shift: int = 0
+    bg_shift: int = 0
 
     def num_bytes(self) -> int:
         n = self.ll.size * self.ll.dtype.itemsize
@@ -212,6 +220,27 @@ def encode(
     )
 
 
+def _normalize_roi(stream: CodeStream) -> CodeStream:
+    """Undo maxshift ROI scaling (:mod:`wicca_tpu.codec.roi`): codes with
+    ``|c| >= 2**roi_shift`` are ROI (exact ``>> roi_shift``), the rest are
+    background (midpoint ``<< bg_shift``). Returns a stream of plain deadzone
+    codes in the path's native dtype; no-op for non-ROI streams."""
+    if not stream.roi_shift:
+        return stream
+    s, b = stream.roi_shift, stream.bg_shift
+    dt = jnp.int32 if stream.bit_depth != 8 else (jnp.int8 if stream.wavelet == "haar" else jnp.int16)
+
+    def un(c):
+        v = c.astype(jnp.int32)
+        m = jnp.abs(v)
+        sg = jnp.sign(v)
+        bg = sg * ((m << b) + (1 << (b - 1))) if b else v
+        return jnp.where(m >= (1 << s), sg * (m >> s), bg).astype(dt)
+
+    details = tuple(tuple(un(band) for band in bands) for bands in stream.details)
+    return dataclasses.replace(stream, details=details, roi_shift=0, bg_shift=0)
+
+
 @partial(jax.jit, static_argnames=("emit_u8",))
 def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     """CodeStream -> reconstructed image (original dims), float32 by default;
@@ -221,6 +250,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
     The encoder may tile-pad each level's input (see dwt_level_quant_pallas);
     stored subband shapes record it, so each reconstruction is cropped to the
     next-finer level's subband extent before combining."""
+    stream = _normalize_roi(stream)
     # with a color transform the in-kernel u8 emission must wait until after
     # the inverse color rotation (shared tail below)
     u8_in = emit_u8 and stream.color == "none" and stream.bit_depth == 8
@@ -475,6 +505,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         raise ValueError(f"target_level must be in [0, {stream.levels}]")
     if target_level == 0:
         return decode(stream, emit_u8=emit_u8)
+    stream = _normalize_roi(stream)
     h, w = stream.orig_shape
     out_h = -(-h // (1 << target_level))
     out_w = -(-w // (1 << target_level))
