@@ -15,6 +15,7 @@ from wicca_tpu.models.registry import (
 # EfficientNetB0 share building blocks with the tested three
 ARCHS = [
     "MobileNetV2",
+    "ViTTiny16",
     pytest.param("VGG16", marks=pytest.mark.slow),
     pytest.param("DenseNet121", marks=pytest.mark.slow),
     pytest.param("NASNetMobile", marks=pytest.mark.slow),
@@ -24,7 +25,7 @@ ARCHS = [
 def test_all_architectures_registered():
     assert {
         "MobileNetV2", "ResNet50", "EfficientNetB0", "VGG16", "VGG19",
-        "DenseNet121", "NASNetMobile", "SimpleCNN",
+        "DenseNet121", "NASNetMobile", "SimpleCNN", "ViTS16", "ViTTiny16",
     } <= set(available_architectures())
 
 
@@ -87,3 +88,18 @@ def test_nasnet_mobile_param_count():
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
     assert 5.0e6 < n < 5.6e6, n
+
+
+def test_vit_param_counts():
+    """ViT-S/16 ~22M and ViT-Tiny/16 ~5.7M params (Dosovitskiy et al. 2021 /
+    DeiT Table 1) — wiring sanity for the transformer family."""
+    import jax
+    import jax.numpy as jnp
+
+    from wicca_tpu.models.flax_models import ViTS16, ViTTiny16
+
+    for factory, target in ((ViTS16, 22.0), (ViTTiny16, 5.7)):
+        m = factory()
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+        n = sum(x.size for x in jax.tree_util.tree_leaves(params)) / 1e6
+        assert abs(n - target) / target < 0.10, (factory.__name__, n)

@@ -418,3 +418,70 @@ class DenseNet121(nn.Module):
         x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
         x = jnp.mean(nn.relu(x), axis=(1, 2)).astype(jnp.float32)
         return nn.Dense(self.num_classes)(x)
+
+
+class _TransformerBlock(nn.Module):
+    """Pre-LN transformer encoder block (ViT, Dosovitskiy et al. 2021 §3.1)."""
+
+    dim: int
+    heads: int
+    mlp_ratio: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim, dtype=self.dtype
+        )(y, y)
+        x = x + y.astype(jnp.float32)
+        y = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype)(y)
+        return x + y.astype(jnp.float32)
+
+
+class ViT(nn.Module):
+    """Vision Transformer (Dosovitskiy et al. 2021) — the zoo's transformer
+    family next to the CNNs (the reference's Keras zoo is CNN-only; ViTs are
+    the other dominant ImageNet classifier family). Patch embedding is a
+    strided conv; class token + learned position embeddings; pre-LN encoder.
+    All heavy ops are (batch*tokens, dim) matmuls — MXU-native, bfloat16
+    compute with float32 residual stream and params."""
+
+    num_classes: int = 1000
+    patch: int = 16
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = x.shape[0]
+        x = nn.Conv(
+            self.dim, (self.patch, self.patch), strides=(self.patch, self.patch),
+            dtype=self.dtype, name="patch_embed",
+        )(x.astype(self.dtype))
+        x = x.reshape(b, -1, self.dim).astype(jnp.float32)
+        cls = self.param("cls", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
+        )
+        x = x + pos
+        for _ in range(self.depth):
+            x = _TransformerBlock(self.dim, self.heads, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x[:, 0])
+
+
+def ViTS16():
+    """ViT-Small/16 (22M params)."""
+    return ViT(dim=384, depth=12, heads=6)
+
+
+def ViTTiny16():
+    """ViT-Tiny/16 (5.7M params) — the quick transformer for smoke runs."""
+    return ViT(dim=192, depth=12, heads=3)

@@ -81,6 +81,8 @@ _ARCHITECTURES: dict[str, tuple[Any, Any]] = {
     "VGG19": (flax_models.VGG19, preprocess_caffe),
     "DenseNet121": (flax_models.DenseNet121, preprocess_torch),
     "NASNetMobile": (flax_models.NASNetMobile, preprocess_minus1_1),
+    "ViTS16": (flax_models.ViTS16, preprocess_minus1_1),
+    "ViTTiny16": (flax_models.ViTTiny16, preprocess_minus1_1),
 }
 
 
