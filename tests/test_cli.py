@@ -98,3 +98,31 @@ def test_encode_quality_layers_and_region_cli(workdir, capsys):
 
     roi = cv2.imread(str(workdir / "roi1q.png"))
     assert roi.shape[:2] == (32, 32)
+
+
+def test_encode_decode_u16_roundtrip(workdir, capsys):
+    """16-bit PNG auto-detects the hi-depth path; lossless wavelet roundtrips
+    bit-exactly through the CLI."""
+    cv2 = pytest.importorskip("cv2")
+    x = np.random.default_rng(5).integers(0, 65536, (64, 96, 3), dtype=np.uint16)
+    src = workdir / "hi.png"
+    cv2.imwrite(str(src), cv2.cvtColor(x, cv2.COLOR_RGB2BGR))
+    wct = workdir / "hi.wct"
+    rec = workdir / "hi_rec.png"
+    assert main(["encode", str(src), str(wct), "--levels", "3", "--wavelet", "legall5.3"]) == 0
+    assert main(["decode", str(wct), str(rec), "--original", str(src)]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR inf" in out or "PSNR" in out
+    back = cv2.cvtColor(cv2.imread(str(rec), cv2.IMREAD_UNCHANGED), cv2.COLOR_BGR2RGB)
+    assert back.dtype == np.uint16
+    np.testing.assert_array_equal(back, x)
+
+
+def test_encode_roi_flag(workdir, capsys):
+    src = workdir / "imgs" / "im1.png"
+    wct = workdir / "roi.wct"
+    assert main(["encode", str(src), str(wct), "--levels", "3",
+                 "--roi", "16", "48", "16", "64", "--roi-bg-shift", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "ROI" in out
+    assert main(["decode", str(wct), str(workdir / "roi_rec.png")]) == 0

@@ -50,11 +50,20 @@ def _cmd_encode(args) -> int:
 
     from wicca_tpu.codec import encode, save
     from wicca_tpu.core.quant import QuantSpec
-    from wicca_tpu.data.loader import load_image, to_planar
+    from wicca_tpu.data.loader import load_image, load_image_raw, to_planar
 
-    image = load_image(args.input)
+    # hi-depth sources (16-bit PNG/TIFF) keep their precision; everything
+    # else goes through the reference-contract uint8 loader
+    raw = load_image_raw(args.input)
+    if (args.bit_depth or 8) > 8 or (raw is not None and raw.dtype == np.uint16 and args.bit_depth is None):
+        image = raw
+    else:
+        image = load_image(args.input)
     if image is None:
         print(f"error: cannot read image {args.input}", file=sys.stderr)
+        return 2
+    if image.dtype != np.uint8 and (args.target_bpp is not None or args.target_psnr is not None):
+        print("error: rate control supports 8-bit sources only", file=sys.stderr)
         return 2
     if args.target_bpp is not None and args.target_psnr is not None:
         print("error: --target-bpp and --target-psnr are mutually exclusive", file=sys.stderr)
@@ -81,6 +90,7 @@ def _cmd_encode(args) -> int:
         stream = encode(
             planar, levels=args.levels, spec=QuantSpec(base_step=args.step),
             wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
+            bit_depth=args.bit_depth,
         )
     if args.roi is not None:
         from wicca_tpu.codec import apply_roi
@@ -92,7 +102,7 @@ def _cmd_encode(args) -> int:
         note += f"  [ROI [{r0}:{r1}, {c0}:{c1}), guard {stream.roi_shift} bits, bg -{args.roi_bg_shift} bits]"
     nbytes = save(stream, args.output, threads=args.threads, codec=args.codec,
                   quality_layers=args.quality_layers)
-    raw = int(np.prod(image.shape))
+    raw = int(image.nbytes)
     print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}{note}")
     return 0
 
@@ -110,17 +120,19 @@ def _cmd_decode(args) -> int:
         r0, r1, c0, c1 = args.region
         rec = np.asarray(decode_region(stream, r0, r1, c0, c1, emit_u8=True))
     else:
-        rec = np.clip(np.asarray(decode(stream)), 0, 255).astype(np.uint8)
+        # native-dtype emission: uint8, or uint16 for hi-depth streams
+        rec = np.asarray(decode(stream, emit_u8=True))
     rec_hwc = from_planar(rec)
     cv2.imwrite(args.output, cv2.cvtColor(rec_hwc, cv2.COLOR_RGB2BGR) if rec_hwc.ndim == 3 else rec_hwc)
     msg = f"{args.input} -> {args.output} {rec_hwc.shape}"
     if args.original:
         from wicca_tpu.core.metrics import psnr
-        from wicca_tpu.data.loader import load_image
+        from wicca_tpu.data.loader import load_image, load_image_raw
 
-        orig = load_image(args.original)
+        orig = load_image_raw(args.original) if stream.bit_depth > 8 else load_image(args.original)
         if orig is not None and orig.shape == rec_hwc.shape:
-            msg += f"  PSNR {float(psnr(rec_hwc.astype(np.float32), orig.astype(np.float32))):.2f} dB"
+            peak = float((1 << stream.bit_depth) - 1)
+            msg += f"  PSNR {float(psnr(rec_hwc.astype(np.float32), orig.astype(np.float32), peak=peak)):.2f} dB"
     print(msg)
     return 0
 
@@ -215,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"],
                    help="detail-plane entropy codec: rice (fastest), rc (context-modeled "
                         "range coder, smaller), auto (per-plane smaller of the two)")
+    e.add_argument("--bit-depth", type=int, default=None,
+                   help="sample precision 8..16 (default: inferred — 16-bit PNG/TIFF "
+                        "sources keep their precision; needs a lifting wavelet)")
     e.add_argument("--roi", nargs=4, type=int, metavar=("ROW0", "ROW1", "COL0", "COL1"),
                    default=None, help="region of interest kept at full fidelity (maxshift)")
     e.add_argument("--roi-bg-shift", type=int, default=2,

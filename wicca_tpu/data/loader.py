@@ -52,6 +52,28 @@ def load_image(file_path: str | Path) -> np.ndarray | None:
         return None
 
 
+def load_image_raw(file_path: str | Path) -> np.ndarray | None:
+    """Decode an image preserving its stored bit depth (HWC RGB or HW gray;
+    uint16 for 16-bit PNG/TIFF) — the hi-depth codec's input path. Unlike
+    :func:`load_image` (reference uint8 contract), no dtype coercion happens;
+    None on failure."""
+    if not str(file_path):
+        raise ValueError("File path cannot be empty")
+    try:
+        import cv2
+
+        image = cv2.imread(str(file_path), cv2.IMREAD_UNCHANGED)
+        if image is None:
+            raise ValueError("cv2.imread returned None")
+        if image.ndim == 3 and image.shape[2] >= 3:
+            # drop alpha, BGR -> RGB
+            image = cv2.cvtColor(image[..., :3], cv2.COLOR_BGR2RGB)
+        return image
+    except Exception as e:  # noqa: BLE001
+        logging.error(f"Error loading image {file_path}: {e}")
+        return None
+
+
 def list_images(folder: str | Path) -> list[Path]:
     """Sorted image files in a folder, filtered by extension (fixes the
     reference's unfiltered os.listdir crash, SURVEY.md §2.4 quirk 1)."""
