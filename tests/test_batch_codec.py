@@ -1,0 +1,75 @@
+"""Folder-level batch codec (codec/batch.py): overlapped-IO encode/decode of
+whole directories, lossless roundtrips, metrics dict, CLI subcommands."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wicca_tpu.codec.batch import decode_folder, encode_folder
+from wicca_tpu.core.quant import QuantSpec
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("batch")
+    src = root / "src"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+    imgs = {}
+    for i in range(4):
+        img = np.clip(
+            128 + 60 * np.sin(xx / (7 + i)) + 50 * np.cos(yy / (9 + i)) + rng.normal(0, 6, yy.shape),
+            0, 255,
+        ).astype(np.uint8)
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], -1)
+        cv2.imwrite(str(src / f"im{i}.png"), cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        imgs[f"im{i}"] = rgb
+    (src / "notes.txt").write_text("not an image")  # must be filtered out
+    return root, src, imgs
+
+
+def test_batch_lossless_roundtrip(dataset):
+    cv2 = pytest.importorskip("cv2")
+    root, src, imgs = dataset
+    enc_dir, dec_dir = root / "wct", root / "rec"
+    m = encode_folder(src, enc_dir, levels=3, wavelet="legall5.3", threads=4)
+    assert m["images"] == 4 and m["skipped"] == 0
+    assert m["mp_per_s"] > 0 and m["bytes_out"] > 0
+    assert sorted(p.name for p in enc_dir.glob("*.wct")) == [f"im{i}.wct" for i in range(4)]
+    d = decode_folder(enc_dir, dec_dir, threads=4)
+    assert d["images"] == 4
+    for name, rgb in imgs.items():
+        back = cv2.cvtColor(cv2.imread(str(dec_dir / f"{name}.png")), cv2.COLOR_BGR2RGB)
+        np.testing.assert_array_equal(back, rgb)
+
+
+def test_batch_lossy_metrics(dataset):
+    root, src, _ = dataset
+    m = encode_folder(src, root / "wct_lossy", levels=2, spec=QuantSpec(base_step=2.0), threads=2)
+    assert m["images"] == 4 and m["ratio"] > 1.0
+    assert m["megapixels"] == pytest.approx(4 * 64 * 96 / 1e6, rel=1e-2)
+
+
+def test_batch_empty_folder_raises(tmp_path):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError, match="no images"):
+        encode_folder(tmp_path / "empty", tmp_path / "out")
+    with pytest.raises(ValueError, match="no .wct"):
+        decode_folder(tmp_path / "empty", tmp_path / "out")
+
+
+def test_batch_cli(dataset, capsys):
+    from wicca_tpu.cli import main
+
+    root, src, _ = dataset
+    rc = main(["encode-batch", str(src), str(root / "cli_wct"), "--levels", "2", "--threads", "2"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["images"] == 4
+    rc = main(["decode-batch", str(root / "cli_wct"), str(root / "cli_rec"), "--threads", "2"])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["images"] == 4 and (root / "cli_rec" / "im0.png").is_file()

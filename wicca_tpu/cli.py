@@ -2,11 +2,13 @@
 this maps argparse 1:1 onto the library surface, non-interactive by design).
 
 Subcommands:
-  analyze  folder of images -> per-depth comparison CSVs (ClassifierProcessor)
-  encode   image file -> .wct codestream (TPU DWT + quantize + Rice coding)
-  decode   .wct -> reconstructed image file (+ PSNR vs an optional original)
-  icon     image file -> LL icon image at a given depth (reference-parity)
-  compare  results folder -> classifier x depth comparison CSV
+  analyze       folder of images -> per-depth comparison CSVs (ClassifierProcessor)
+  encode        image file -> .wct codestream (TPU DWT + quantize + entropy coding)
+  decode        .wct -> reconstructed image file (+ PSNR vs an optional original)
+  encode-batch  folder -> .wct files, host IO overlapped with device encodes
+  decode-batch  folder of .wct -> images
+  icon          image file -> LL icon image at a given depth (reference-parity)
+  compare       results folder -> classifier x depth comparison CSV
 """
 
 from __future__ import annotations
@@ -104,6 +106,34 @@ def _cmd_encode(args) -> int:
                   quality_layers=args.quality_layers)
     raw = int(image.nbytes)
     print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}{note}")
+    return 0
+
+
+def _cmd_encode_batch(args) -> int:
+    import json
+
+    from wicca_tpu.codec.batch import encode_folder
+    from wicca_tpu.core.quant import QuantSpec
+
+    metrics = encode_folder(
+        args.input_dir, args.output_dir, levels=args.levels,
+        spec=QuantSpec(base_step=args.step), wavelet=args.wavelet,
+        color=args.color, chroma_gain=args.chroma_gain, bit_depth=args.bit_depth,
+        codec=args.codec, quality_layers=args.quality_layers, threads=args.threads,
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def _cmd_decode_batch(args) -> int:
+    import json
+
+    from wicca_tpu.codec.batch import decode_folder
+
+    metrics = decode_folder(
+        args.input_dir, args.output_dir, threads=args.threads, on_error=args.on_error
+    )
+    print(json.dumps(metrics))
     return 0
 
 
@@ -238,6 +268,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="> 1 writes an SNR-scalable stream: any layer prefix decodes "
                         "at a coarser effective step (progressive transmission)")
     e.set_defaults(fn=_cmd_encode)
+
+    eb = sub.add_parser("encode-batch", help="encode a folder of images to .wct files "
+                                             "(host IO overlapped with the device transform)")
+    eb.add_argument("input_dir")
+    eb.add_argument("output_dir")
+    eb.add_argument("--levels", type=int, default=5)
+    eb.add_argument("--step", type=float, default=1.0)
+    eb.add_argument("--wavelet", default="haar",
+                    choices=["haar", "db2", "bior4.4", "cdf97", "legall5.3", "cdf53", "haar_int"])
+    eb.add_argument("--color", default="none", choices=["none", "rct", "ict"])
+    eb.add_argument("--chroma-gain", type=float, default=1.0)
+    eb.add_argument("--bit-depth", type=int, default=None)
+    eb.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"])
+    eb.add_argument("--quality-layers", type=int, default=1)
+    eb.add_argument("--threads", type=int, default=8)
+    eb.set_defaults(fn=_cmd_encode_batch)
+
+    db = sub.add_parser("decode-batch", help="decode a folder of .wct files to images")
+    db.add_argument("input_dir")
+    db.add_argument("output_dir")
+    db.add_argument("--threads", type=int, default=8)
+    db.add_argument("--on-error", default="raise", choices=["raise", "zero"])
+    db.set_defaults(fn=_cmd_decode_batch)
 
     d = sub.add_parser("decode", help="decode a .wct codestream to an image")
     d.add_argument("input")

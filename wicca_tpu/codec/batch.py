@@ -1,0 +1,163 @@
+"""Folder-level batch codec: host IO overlapped with device transforms.
+
+The reference's hot loop was serial per-image host work (SURVEY.md §3.2 —
+imread + full-res numpy Haar per classifier per depth); its roadmap item
+"Optimize for large-scale datasets" was never built. This is that layer for
+the TPU codec: image decode (CPU threads) runs ahead of the device encode,
+and entropy coding + file writes trail behind it (ctypes releases the GIL),
+so the chip never waits on the host for same-shape datasets. Lookahead is
+bounded, so gigapixel folders stream at O(prefetch) host memory.
+
+``encode_folder`` / ``decode_folder`` return a structured metrics dict
+(SURVEY.md §5 observability row); the CLI exposes them as
+``encode-batch`` / ``decode-batch``.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from wicca_tpu.codec.container import load as load_wct
+from wicca_tpu.codec.container import save as save_wct
+from wicca_tpu.codec.pipeline import decode, encode
+from wicca_tpu.core.quant import QuantSpec
+from wicca_tpu.data.loader import from_planar, list_images, load_image, load_image_raw, to_planar
+
+
+def encode_folder(
+    in_dir: str | Path,
+    out_dir: str | Path,
+    levels: int = 5,
+    spec: QuantSpec = QuantSpec(),
+    wavelet: str = "haar",
+    color: str = "none",
+    chroma_gain: float = 1.0,
+    bit_depth: int | None = None,
+    codec: str = "auto",
+    quality_layers: int = 1,
+    threads: int = 8,
+    prefetch: int | None = None,
+) -> dict:
+    """Encode every image in ``in_dir`` to ``<out_dir>/<stem>.wct``.
+
+    Pipeline: ``prefetch`` loader threads run ahead of the device encode;
+    serialize+write futures trail behind. Same-shape images reuse one
+    compiled encode (jit shape cache). Returns throughput metrics."""
+    in_dir, out_dir = Path(in_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = list_images(in_dir)
+    if not paths:
+        raise ValueError(f"no images in {in_dir}")
+    lookahead = prefetch if prefetch is not None else max(2, threads // 2)
+    loader = load_image_raw if (bit_depth or 8) > 8 else load_image
+
+    t0 = time.perf_counter()
+    n_ok, mp_total, bytes_in, bytes_out = 0, 0.0, 0, 0
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+        loads: list = []
+        writes: list = []
+        it = iter(paths)
+
+        def _fill():
+            for p in it:
+                loads.append((p, pool.submit(loader, p)))
+                if len(loads) >= lookahead:
+                    return
+
+        _fill()
+        while loads:
+            path, fut = loads.pop(0)
+            _fill()
+            img = fut.result()
+            if img is None:
+                logging.warning(f"skipping unreadable image {path}")
+                continue
+            stream = encode(
+                to_planar(img), levels=levels, spec=spec, wavelet=wavelet,
+                color=color, chroma_gain=chroma_gain, bit_depth=bit_depth,
+            )
+            dst = out_dir / (path.stem + ".wct")
+            # serialize fetches device arrays + entropy-codes on the pool
+            writes.append(pool.submit(
+                save_wct, stream, str(dst), threads, codec, quality_layers
+            ))
+            n_ok += 1
+            mp_total += img.shape[0] * img.shape[1] / 1e6
+            bytes_in += img.nbytes
+        bytes_out = sum(w.result() for w in writes)
+    seconds = time.perf_counter() - t0
+    return {
+        "images": n_ok,
+        "skipped": len(paths) - n_ok,
+        "megapixels": round(mp_total, 4),
+        "seconds": round(seconds, 3),
+        "mp_per_s": round(mp_total / max(seconds, 1e-9), 2),
+        "bytes_in": bytes_in,
+        "bytes_out": bytes_out,
+        "ratio": round(bytes_in / max(bytes_out, 1), 3),
+    }
+
+
+def decode_folder(
+    in_dir: str | Path,
+    out_dir: str | Path,
+    threads: int = 8,
+    on_error: str = "raise",
+    suffix: str = ".png",
+    prefetch: int | None = None,
+) -> dict:
+    """Decode every ``.wct`` in ``in_dir`` to ``<out_dir>/<stem><suffix>``
+    (native dtype: uint8, or uint16 for hi-depth streams)."""
+    import cv2
+
+    in_dir, out_dir = Path(in_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = sorted(in_dir.glob("*.wct"))
+    if not paths:
+        raise ValueError(f"no .wct files in {in_dir}")
+    lookahead = prefetch if prefetch is not None else max(2, threads // 2)
+
+    def _write(rec: np.ndarray, dst: Path) -> int:
+        hwc = from_planar(rec)
+        cv2.imwrite(str(dst), cv2.cvtColor(hwc, cv2.COLOR_RGB2BGR) if hwc.ndim == 3 else hwc)
+        return hwc.nbytes
+
+    t0 = time.perf_counter()
+    mp_total, bytes_in, n = 0.0, 0, 0
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
+        loads: list = []
+        writes: list = []
+        it = iter(paths)
+
+        def _fill():
+            for p in it:
+                # entropy decode runs plane-parallel inside load_wct
+                loads.append((p, pool.submit(load_wct, str(p), threads, None, False, on_error)))
+                if len(loads) >= lookahead:
+                    return
+
+        _fill()
+        while loads:
+            path, fut = loads.pop(0)
+            _fill()
+            stream = fut.result()
+            rec = np.asarray(decode(stream, emit_u8=True))
+            writes.append(pool.submit(_write, rec, out_dir / (path.stem + suffix)))
+            n += 1
+            mp_total += stream.orig_shape[0] * stream.orig_shape[1] / 1e6
+            bytes_in += path.stat().st_size
+        bytes_out = sum(w.result() for w in writes)
+    seconds = time.perf_counter() - t0
+    return {
+        "images": n,
+        "megapixels": round(mp_total, 4),
+        "seconds": round(seconds, 3),
+        "mp_per_s": round(mp_total / max(seconds, 1e-9), 2),
+        "bytes_in": bytes_in,
+        "bytes_out": bytes_out,
+    }
