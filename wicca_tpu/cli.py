@@ -56,8 +56,12 @@ def _cmd_encode(args) -> int:
 
     # hi-depth sources (16-bit PNG/TIFF) keep their precision; everything
     # else goes through the reference-contract uint8 loader
-    raw = load_image_raw(args.input)
-    if (args.bit_depth or 8) > 8 or (raw is not None and raw.dtype == np.uint16 and args.bit_depth is None):
+    raw = load_image_raw(args.input, keep_alpha=args.keep_alpha)
+    if (
+        (args.bit_depth or 8) > 8
+        or (raw is not None and raw.dtype == np.uint16 and args.bit_depth is None)
+        or (args.keep_alpha and raw is not None and raw.ndim == 3 and raw.shape[2] == 4)
+    ):
         image = raw
     else:
         image = load_image(args.input)
@@ -153,7 +157,11 @@ def _cmd_decode(args) -> int:
         # native-dtype emission: uint8, or uint16 for hi-depth streams
         rec = np.asarray(decode(stream, emit_u8=True))
     rec_hwc = from_planar(rec)
-    cv2.imwrite(args.output, cv2.cvtColor(rec_hwc, cv2.COLOR_RGB2BGR) if rec_hwc.ndim == 3 else rec_hwc)
+    if rec_hwc.ndim == 3:
+        code = cv2.COLOR_RGBA2BGRA if rec_hwc.shape[2] == 4 else cv2.COLOR_RGB2BGR
+        cv2.imwrite(args.output, cv2.cvtColor(rec_hwc, code))
+    else:
+        cv2.imwrite(args.output, rec_hwc)
     msg = f"{args.input} -> {args.output} {rec_hwc.shape}"
     if args.original:
         from wicca_tpu.core.metrics import psnr
@@ -267,6 +275,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--quality-layers", type=int, default=1,
                    help="> 1 writes an SNR-scalable stream: any layer prefix decodes "
                         "at a coarser effective step (progressive transmission)")
+    e.add_argument("--keep-alpha", action="store_true",
+                   help="keep the alpha plane of RGBA sources (coded as a 4th "
+                        "component; color transforms rotate RGB only)")
     e.set_defaults(fn=_cmd_encode)
 
     eb = sub.add_parser("encode-batch", help="encode a folder of images to .wct files "

@@ -124,7 +124,11 @@ def decode_folder(
 
     def _write(rec: np.ndarray, dst: Path) -> int:
         hwc = from_planar(rec)
-        cv2.imwrite(str(dst), cv2.cvtColor(hwc, cv2.COLOR_RGB2BGR) if hwc.ndim == 3 else hwc)
+        if hwc.ndim == 3:
+            code = cv2.COLOR_RGBA2BGRA if hwc.shape[2] == 4 else cv2.COLOR_RGB2BGR
+            cv2.imwrite(str(dst), cv2.cvtColor(hwc, code))
+        else:
+            cv2.imwrite(str(dst), hwc)
         return hwc.nbytes
 
     t0 = time.perf_counter()

@@ -117,8 +117,8 @@ def encode(
         raise ValueError(f"bit_depth must be in [8, 16], got {bit_depth}")
     if color not in ("none", "rct", "ict"):
         raise ValueError(f"color must be none|rct|ict, got {color!r}")
-    if color != "none" and (image.ndim < 3 or image.shape[-3] != 3):
-        raise ValueError("color transforms need planar (..., 3, H, W) input")
+    if color != "none" and (image.ndim < 3 or image.shape[-3] not in (3, 4)):
+        raise ValueError("color transforms need planar (..., 3|4, H, W) input (RGB or RGBA)")
     if color == "rct" and not _is_int_wavelet(wavelet):
         raise ValueError("rct is reversible — pair it with an integer wavelet")
     if color == "ict" and _is_int_wavelet(wavelet):
@@ -129,16 +129,22 @@ def encode(
         wavelet = "legall5.3"
     orig = (image.shape[-2], image.shape[-1])
     x = pad_to_multiple(image, 1 << levels, mode=mode, constant=constant)
-    if color == "rct":
-        from wicca_tpu.core.color import rct_fwd
+    if color != "none":
+        # an alpha plane (RGBA) bypasses the 3-channel rotation and rides the
+        # same wavelet path untouched (JPEG2000 treats extra components the
+        # same way: the MCT covers components 0-2 only)
+        rgb, extra = (x[..., :3, :, :], x[..., 3:, :, :]) if x.shape[-3] == 4 else (x, None)
+        if color == "rct":
+            from wicca_tpu.core.color import rct_fwd
 
-        x = rct_fwd(x)
-    elif color == "ict":
-        from wicca_tpu.core.color import ict_fwd
+            rgb = rct_fwd(rgb)
+        else:
+            from wicca_tpu.core.color import ict_fwd
 
-        x = ict_fwd(x)
-        if chroma_gain != 1.0:
-            x = x * jnp.array([1.0, 1.0 / chroma_gain, 1.0 / chroma_gain], jnp.float32).reshape(3, 1, 1)
+            rgb = ict_fwd(rgb)
+            if chroma_gain != 1.0:
+                rgb = rgb * jnp.array([1.0, 1.0 / chroma_gain, 1.0 / chroma_gain], jnp.float32).reshape(3, 1, 1)
+        x = rgb if extra is None else jnp.concatenate([rgb, extra.astype(rgb.dtype)], axis=-3)
     details = []
     layout = "tiled"
     if bit_depth != 8:
@@ -344,17 +350,22 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
 
 
 def _undo_color(stream: CodeStream, x: jax.Array) -> jax.Array:
+    if stream.color == "none":
+        return x
+    # RGBA: the alpha plane was never rotated (see encode) — invert the first
+    # three planes only and carry the rest through
+    yuv, extra = (x[..., :3, :, :], x[..., 3:, :, :]) if x.shape[-3] == 4 else (x, None)
     if stream.color == "rct":
         from wicca_tpu.core.color import rct_inv
 
-        return rct_inv(x)
-    if stream.color == "ict":
+        rgb = rct_inv(yuv)
+    else:
         from wicca_tpu.core.color import ict_inv
 
         if stream.chroma_gain != 1.0:
-            x = x * jnp.array([1.0, stream.chroma_gain, stream.chroma_gain], jnp.float32).reshape(3, 1, 1)
-        return ict_inv(x)
-    return x
+            yuv = yuv * jnp.array([1.0, stream.chroma_gain, stream.chroma_gain], jnp.float32).reshape(3, 1, 1)
+        rgb = ict_inv(yuv)
+    return rgb if extra is None else jnp.concatenate([rgb, extra.astype(rgb.dtype)], axis=-3)
 
 
 def _emit_native(stream: CodeStream, x: jax.Array) -> jax.Array:

@@ -52,11 +52,12 @@ def load_image(file_path: str | Path) -> np.ndarray | None:
         return None
 
 
-def load_image_raw(file_path: str | Path) -> np.ndarray | None:
+def load_image_raw(file_path: str | Path, keep_alpha: bool = False) -> np.ndarray | None:
     """Decode an image preserving its stored bit depth (HWC RGB or HW gray;
     uint16 for 16-bit PNG/TIFF) — the hi-depth codec's input path. Unlike
     :func:`load_image` (reference uint8 contract), no dtype coercion happens;
-    None on failure."""
+    ``keep_alpha`` returns RGBA for 4-channel sources instead of dropping the
+    alpha plane. None on failure."""
     if not str(file_path):
         raise ValueError("File path cannot be empty")
     try:
@@ -65,7 +66,9 @@ def load_image_raw(file_path: str | Path) -> np.ndarray | None:
         image = cv2.imread(str(file_path), cv2.IMREAD_UNCHANGED)
         if image is None:
             raise ValueError("cv2.imread returned None")
-        if image.ndim == 3 and image.shape[2] >= 3:
+        if image.ndim == 3 and image.shape[2] == 4 and keep_alpha:
+            image = cv2.cvtColor(image, cv2.COLOR_BGRA2RGBA)
+        elif image.ndim == 3 and image.shape[2] >= 3:
             # drop alpha, BGR -> RGB
             image = cv2.cvtColor(image[..., :3], cv2.COLOR_BGR2RGB)
         return image
