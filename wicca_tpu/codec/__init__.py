@@ -13,3 +13,4 @@ from wicca_tpu.codec.pipeline import (
 from wicca_tpu.codec.rd import encode_to_bpp, encode_to_psnr, plot_rd_curve, rd_curve, rd_point
 from wicca_tpu.codec.roi import apply_roi
 from wicca_tpu.codec.batch import decode_folder, encode_folder
+from wicca_tpu.codec.transcode import drop_finest_levels, transcode
