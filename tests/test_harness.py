@@ -168,6 +168,58 @@ def test_timeout_partial_results(data_folder, classifiers, tmp_path):
     assert isinstance(out2, dict)
 
 
+def test_classifier_fault_isolation(data_folder, classifiers, tmp_path):
+    """One raising classifier must not kill the others (reference
+    classifying_tools.py:431-432: log & continue)."""
+
+    class ExplodingModel:
+        def __call__(self, batch):
+            raise RuntimeError("boom")
+
+    bad = load_single_model(ExplodingModel, shape=(32, 32))
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=1,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "res_fault",
+        log_info=False,
+    )
+    out = proc.process_classifiers({"bad": bad, "tiny": classifiers["tiny"]})
+    assert "tiny" in out and "bad" not in out
+    base = tmp_path / "res_fault" / "depth-1"
+    assert (base / "tiny-summary-depth-1.csv").is_file()
+    assert not (base / "bad-summary-depth-1.csv").exists()
+
+
+def test_hung_classifier_times_out(data_folder, classifiers, tmp_path):
+    """timeout bounds even a hung model call (reference as_completed
+    timeout semantics, classifying_tools.py:426,435-436): the run returns
+    partial results instead of blocking forever."""
+    import time as _time
+
+    class HungModel:
+        def __call__(self, batch):
+            _time.sleep(4.0)
+            return np.zeros((len(batch), 1000), np.float32)
+
+    slow = load_single_model(HungModel, shape=(32, 32))
+    proc = ClassifierProcessor(
+        data_folder,
+        transform_depth=1,
+        interpolation=3,
+        top_classes=3,
+        results_folder=tmp_path / "res_hang",
+        log_info=False,
+        batch_size=25,
+    )
+    t0 = _time.time()
+    out = proc.process_classifiers({"tiny": classifiers["tiny"], "slow": slow}, timeout=2)
+    elapsed = _time.time() - t0
+    assert elapsed < 10.0  # returned well before the hang would finish on its own
+    assert "tiny" in out and "slow" not in out
+
+
 def test_reconstruction_compare_mode(data_folder, classifiers, tmp_path):
     from wicca_tpu.core.quant import QuantSpec
 

@@ -5,14 +5,15 @@ CSV layout (reference classifying_tools.py:244-263 + result_manager.py:
 114-130): ``results/depth-{d}/{name}-depth-{d}.csv`` and
 ``{name}-summary-depth-{d}.csv``; summary = describe() sliced to
 mean/min/max. Column names from :mod:`wicca_tpu.config.constants` are the
-cross-framework contract.
+cross-framework contract. Implementation is clean-room: only the documented
+contract (layout, column names, coercion quirks) is shared with the GPL
+reference; structure and messages are original.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import logging
-from itertools import product
 from pathlib import Path
 
 import pandas as pd
@@ -28,6 +29,8 @@ from wicca_tpu.config.constants import (
 )
 from wicca_tpu.data.normalization import normalize_depth
 from wicca_tpu.data.validation import validate_input_folder
+
+log = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -102,28 +105,34 @@ def save_results(results_folder: Path, depth, name: str, result: pd.DataFrame, s
 def load_summary_results(
     results_folder: Path, classifier_name: str, depth: int, describe: bool = False
 ) -> pd.DataFrame | None:
-    """Load one summary CSV; None when missing (reference result_manager.py:
-    133-178, including the depth-coercion quirk kept deliberately)."""
+    """Load one summary CSV; ``None`` when absent.
+
+    Lenient-input quirks kept for parity (SURVEY.md §2.4, pinned in
+    tests/test_quirks.py): a non-int ``depth`` falls back to 3 with a
+    warning; a non-str ``classifier_name`` is logged but the lookup still
+    proceeds; a non-bool ``describe`` is treated as False.
+    """
     validate_input_folder(results_folder, ftype="result")
-    if not isinstance(describe, bool):
-        logging.warning("Describe parameter is not a boolean. Defaulting to False")
+    if type(describe) is not bool:
+        log.warning("describe=%r is not a bool; ignoring it", describe)
         describe = False
-    if not isinstance(depth, int):
-        logging.warning("Depth parameter is not an integer; trying depth 3.")
+    if isinstance(depth, bool) or not isinstance(depth, int):
+        log.warning("depth=%r is not an int; falling back to depth 3", depth)
         depth = 3
     if not isinstance(classifier_name, str):
-        logging.error("Classifier name is not a string; expected a key of the classifiers dict.")
-    try:
-        paths = result_paths(results_folder, depth, classifier_name)
-        summary_df = pd.read_csv(paths.summary)
-        if describe:
-            print(f"\nSummary for {classifier_name} at depth {depth}:")
-            print("Shape:", summary_df.shape)
-            print("Columns:", summary_df.columns.tolist())
-        return summary_df
-    except FileNotFoundError:
-        logging.warning(f"No summary results found for {classifier_name} at depth {depth}")
+        log.error(
+            "classifier name %r should be a string (a classifiers-dict key); trying anyway",
+            classifier_name,
+        )
+    csv_path = result_paths(results_folder, depth, classifier_name).summary
+    if not csv_path.is_file():
+        log.warning("summary CSV missing: %s", csv_path)
         return None
+    summary_df = pd.read_csv(csv_path)
+    if describe:
+        print(f"\n{classifier_name} @ depth {depth}: {summary_df.shape[0]}x{summary_df.shape[1]}")
+        print("columns:", list(summary_df.columns))
+    return summary_df
 
 
 def compare_summaries(
@@ -132,32 +141,32 @@ def compare_summaries(
     depths: Depth,
     target_stat: str = "mean",
 ) -> pd.DataFrame:
-    """Cartesian classifier x depth comparison table (reference
-    result_manager.py:180-220). Accepts a classifiers dict too (iterating
-    yields keys — the demo relies on this, SURVEY.md §2.4)."""
-    depths = normalize_depth(depths)
+    """One comparison row per (classifier, depth) pair with a summary CSV.
+
+    ``classifier_names`` may also be a classifiers dict — iteration yields
+    its keys, which the reference demo relies on (SURVEY.md §2.4). A
+    ``target_stat`` that is not a string falls back to ``'mean'``.
+    """
     if not isinstance(target_stat, str):
-        logging.warning("Target value is not a string. Defaulting to 'mean'")
+        log.warning("stat selector %r is not a string; using 'mean'", target_stat)
         target_stat = "mean"
-    data_list = []
-    for classifier, depth in product(classifier_names, depths):
-        summary_df = load_summary_results(results_folder, classifier, depth)
-        if summary_df is None:
-            continue
-        try:
-            target = summary_df.set_index(summary_df.columns[0]).loc[target_stat]
-            data_list.append(
-                {
-                    "Classifier": classifier,
-                    "Depth": depth,
-                    SIM_CLASSES: target[SIM_CLASSES],
-                    SIM_CLASSES_PERC: target[SIM_CLASSES_PERC],
-                    SIM_BEST_CLASS: target[SIM_BEST_CLASS],
-                }
-            )
-        except KeyError:
-            logging.warning(f"Skipping {classifier} at depth {depth}: {target_stat} row not found.")
-    return pd.DataFrame(data_list)
+    rows = []
+    for classifier in classifier_names:
+        for depth in normalize_depth(depths):
+            summary_df = load_summary_results(results_folder, classifier, depth)
+            if summary_df is None:
+                continue
+            stats = summary_df.set_index(summary_df.columns[0])
+            if target_stat not in stats.index:
+                log.warning(
+                    "no %r row in summary for %s @ depth %d; skipping", target_stat, classifier, depth
+                )
+                continue
+            picked = stats.loc[target_stat]
+            row = {"Classifier": classifier, "Depth": depth}
+            row.update({col: picked[col] for col in (SIM_CLASSES, SIM_CLASSES_PERC, SIM_BEST_CLASS)})
+            rows.append(row)
+    return pd.DataFrame(rows)
 
 
 def extract_from_comparison(comparison_data: pd.DataFrame, metric: str) -> tuple[list[str], list]:

@@ -1,68 +1,82 @@
-"""Folder / image validation — parity with reference validation.py, made
-headless-safe.
+"""Image and folder validation.
 
-Differences from the reference, on purpose (SURVEY.md §2.4 quirks):
-* ``validate_output_folder`` never blocks on interactive ``input()``
-  (reference validation.py:71-75 prompts when the folder is non-empty —
-  hostile to CI). Overwrite policy is an explicit ``overwrite`` flag.
-* empty input folder raises instead of ``sys.exit(1)`` (reference :60).
+Behavioral contract (SURVEY.md C9, reference ``validation.py``): images must
+be non-None, non-empty, uint8; input folders must exist, be directories,
+be readable, and be non-empty; output folders are created on demand.
+Deliberate redesigns vs the reference (SURVEY.md §2.4 quirks):
+
+* headless-safe — a non-empty results folder never blocks on interactive
+  ``input()``; overwrite policy is the explicit ``overwrite`` flag.
+* an empty input folder raises ``ValueError`` instead of ``sys.exit(1)``.
+
+Implementation and messages are original (clean-room: the GPL reference's
+wording is deliberately not reproduced).
 """
 
 from __future__ import annotations
 
 import logging
-import numpy as np
+import os
 from pathlib import Path
+
+import numpy as np
 
 from wicca_tpu.data.normalization import normalize_folder
 
+log = logging.getLogger(__name__)
 
-def _handle_folder_errors(folder: str | Path, ftype: str = "data") -> Path:
-    folder = normalize_folder(folder)
-    if not folder.exists():
-        if ftype == "data":
-            msg = f"Provided {ftype} folder: '{folder}' does not exist."
-            logging.error(msg)
-            raise FileNotFoundError(msg)
-        logging.warning(f"Provided {ftype} folder: '{folder}' does not exist. Creating folder...")
-        folder.mkdir(parents=True, exist_ok=True)
+
+def _require_readable_dir(folder: Path, role: str) -> None:
     if not folder.is_dir():
-        msg = f"Provided {ftype} folder: '{folder}' is not a directory."
-        logging.error(msg)
+        # distinguish "missing" from "present but not a directory"
+        if not folder.exists():
+            msg = f"no such {role} folder: {folder}"
+            log.error(msg)
+            raise FileNotFoundError(msg)
+        msg = f"{role} path {folder} exists but is not a directory"
+        log.error(msg)
         raise NotADirectoryError(msg)
-    try:
-        next(folder.iterdir(), None)
-    except PermissionError:
-        msg = f"Provided {ftype} folder: '{folder}' is not accessible."
-        logging.error(msg)
-        raise
-    return folder
+    if not os.access(folder, os.R_OK | os.X_OK):
+        msg = f"cannot read {role} folder {folder} (permission denied)"
+        log.error(msg)
+        raise PermissionError(msg)
 
 
 def validate_input_folder(folder: str | Path, ftype: str = "data") -> Path:
-    folder = _handle_folder_errors(folder, ftype)
-    if not any(folder.iterdir()):
-        raise ValueError(f"The folder '{folder}' is empty. Please provide a non-empty folder.")
+    """Resolve and check a folder we read from: exists, dir, readable, non-empty."""
+    folder = normalize_folder(folder)
+    _require_readable_dir(folder, ftype)
+    if next(folder.iterdir(), None) is None:
+        raise ValueError(f"{ftype} folder {folder} contains no files")
     return folder
 
 
 def validate_output_folder(folder: str | Path, ftype: str = "result", overwrite: bool = True) -> Path:
-    folder = _handle_folder_errors(folder, ftype)
-    if any(folder.iterdir()):
+    """Resolve and check a folder we write to, creating it when absent.
+
+    With ``overwrite=False`` a non-empty folder raises ``FileExistsError``;
+    otherwise a warning is logged and existing files may be replaced.
+    """
+    folder = normalize_folder(folder)
+    if not folder.exists():
+        log.info("creating %s folder %s", ftype, folder)
+        folder.mkdir(parents=True, exist_ok=True)
+    _require_readable_dir(folder, ftype)
+    if next(folder.iterdir(), None) is not None:
         if not overwrite:
             raise FileExistsError(
-                f"The folder '{folder}' is not empty and overwrite=False. "
-                "Pass overwrite=True (default) to allow overwriting result CSVs."
+                f"{ftype} folder {folder} already has contents; pass overwrite=True to reuse it"
             )
-        logging.warning(f"The folder '{folder}' is not empty. Some files may be overwritten.")
+        log.warning("%s folder %s already has contents; files may be replaced", ftype, folder)
     return folder
 
 
 def validate_image(image) -> None:
-    """uint8, non-empty ndarray (reference validation.py:80-101 contract)."""
+    """Require a non-None, non-empty uint8 ndarray (SURVEY.md C9 contract)."""
     if image is None:
-        raise ValueError("Image not found. Please check your input.")
-    if getattr(image, "size", 0) == 0 or image.shape[0] == 0 or image.shape[1] == 0:
-        raise ValueError("Image is empty")
-    if image.dtype != np.uint8:
-        raise ValueError("Image must be of type uint8")
+        raise ValueError("expected an image array, got None (did loading fail?)")
+    shape = getattr(image, "shape", ())
+    if getattr(image, "size", 0) == 0 or (len(shape) >= 2 and min(shape[:2]) == 0):
+        raise ValueError("image has zero pixels")
+    if getattr(image, "dtype", None) != np.uint8:
+        raise ValueError(f"image dtype must be uint8, got {getattr(image, 'dtype', type(image))}")

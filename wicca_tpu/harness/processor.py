@@ -169,12 +169,13 @@ class ClassifierProcessor:
 
     def _log_init_info(self) -> None:
         """Dataset summary on init (reference classifying_tools.py:159-242:
-        samples <= MAX_INFO_SAMPLE_SIZE images for mean dims / megapixels)."""
+        samples <= MAX_INFO_SAMPLE_SIZE images for mean dims / megapixels;
+        rendered as Markdown inside Jupyter like the reference :213-228)."""
         from wicca_tpu.config.constants import MAX_INFO_SAMPLE_SIZE
+        from wicca_tpu.utils.env import is_jupyter
 
         files = list_images(self.path)
-        print(f"Data folder: {self.path}")
-        print(f"Number of images: {len(files)}")
+        lines = [f"Data folder: {self.path}", f"Number of images: {len(files)}"]
         sample = files[:MAX_INFO_SAMPLE_SIZE]
         dims = []
         for f in sample:
@@ -189,10 +190,19 @@ class ClassifierProcessor:
         if dims:
             mh = sum(d[0] for d in dims) / len(dims)
             mw = sum(d[1] for d in dims) / len(dims)
-            print(f"Mean image dimensions (n={len(dims)}): {mw:.0f}x{mh:.0f}")
-            print(f"Mean image resolution: {mh * mw / 1e6:.1f} MP")
-        print(f"Transform depths: {self.depth}")
-        print(f"Results folder: {self.results_folder}")
+            lines.append(f"Mean image dimensions (n={len(dims)}): {mw:.0f}x{mh:.0f}")
+            lines.append(f"Mean image resolution: {mh * mw / 1e6:.1f} MP")
+        lines.append(f"Transform depths: {self.depth}")
+        lines.append(f"Results folder: {self.results_folder}")
+        if is_jupyter():
+            try:
+                from IPython.display import Markdown, display  # type: ignore
+
+                display(Markdown("**Dataset info**  \n" + "  \n".join(lines)))
+                return
+            except ImportError:
+                pass
+        print("\n".join(lines))
 
     # -- core -------------------------------------------------------------
 
@@ -221,11 +231,25 @@ class ClassifierProcessor:
         self, classifiers: dict[str, dict], depth: int, deadline: float | None
     ) -> dict[str, tuple[str, Any]]:
         """One depth: stream images, icon once each, run every classifier on
-        the shared batch."""
+        the shared batch.
+
+        Fault isolation + timeout parity (reference classifying_tools.py:
+        424-436): each classifier's resize/preprocess/infer runs in a worker
+        thread; an exception disables that classifier (log & continue with
+        the rest), and ``deadline`` bounds even a hung model call via
+        ``future.result(timeout=...)`` — like the reference's
+        ``as_completed(timeout=...)``, a hung call is abandoned (the thread
+        is left to finish in the background) and partial results persist.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FutureTimeout
+
         files = list_images(self.path)
         shapes = {name: clf[SHAPE] for name, clf in classifiers.items()}
         # accumulated decoded predictions per classifier per file
         preds: dict[str, dict[str, dict]] = {name: {} for name in classifiers}
+        failed: set[str] = set()
+        timed_out = False
 
         batch_files: list[str] = []
         batch_images: list[np.ndarray] = []
@@ -233,8 +257,23 @@ class ClassifierProcessor:
         from wicca_tpu.utils.timing import StageTimer
 
         timer = StageTimer()
+        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="wicca-classify")
+
+        def run_classifier(clf: dict, shape, batch: list[np.ndarray], icons: list[np.ndarray]):
+            """Resize + preprocess + infer + decode for one classifier over one
+            batch (worker thread; returns {kind: decoded_rows})."""
+            model, pre, dec = clf[MODEL], clf[PRE_INP], clf[DEC_PRED]
+            rows: dict[str, list] = {}
+            for kind, sources in ((SOURCE, batch), (ICON, icons)):
+                with timer.stage("resize"):
+                    stack = np.stack([_resize(im, shape, self.interpolation) for im in sources])
+                with timer.stage("inference"):
+                    logits = model(np.asarray(pre(stack), dtype=np.float32))
+                rows[kind] = dec(logits, top=self.top)
+            return rows
 
         def flush() -> None:
+            nonlocal timed_out
             if not batch_files:
                 return
             with timer.stage("icon_dwt"):
@@ -246,14 +285,30 @@ class ClassifierProcessor:
                     # same-bucket images share one device dispatch
                     icons = _compute_icons_batched(batch_images, depth)
             for name, clf in classifiers.items():
-                model, pre, dec = clf[MODEL], clf[PRE_INP], clf[DEC_PRED]
-                shape = shapes[name]
-                for kind, sources in ((SOURCE, batch_images), (ICON, icons)):
-                    with timer.stage("resize"):
-                        stack = np.stack([_resize(im, shape, self.interpolation) for im in sources])
-                    with timer.stage("inference"):
-                        logits = model(np.asarray(pre(stack), dtype=np.float32))
-                    decoded_rows = dec(logits, top=self.top)
+                if name in failed or timed_out:
+                    continue
+                remaining = None if deadline is None else deadline - time.time()
+                if remaining is not None and remaining <= 0:
+                    timed_out = True
+                    break
+                future = pool.submit(run_classifier, clf, shapes[name], batch_images, icons)
+                try:
+                    rows = future.result(timeout=remaining)
+                except FutureTimeout:
+                    logging.warning(
+                        f"Classifier '{name}' exceeded the timeout at depth {depth}; "
+                        "abandoning the call and returning partial results"
+                    )
+                    timed_out = True
+                    break
+                except Exception as exc:  # noqa: BLE001 — isolate one bad classifier
+                    logging.warning(
+                        f"Classifier '{name}' raised at depth {depth} ({exc!r}); "
+                        "continuing with the remaining classifiers"
+                    )
+                    failed.add(name)
+                    continue
+                for kind, decoded_rows in rows.items():
                     for fname, row in zip(batch_files, decoded_rows):
                         preds[name].setdefault(fname, {})[kind] = [row]
             batch_files.clear()
@@ -263,7 +318,7 @@ class ClassifierProcessor:
         n_pixels = 0
         t_start = time.time()
         decoded = iter_decoded(files, num_threads=n_threads)
-        while True:
+        while not timed_out:
             with timer.stage("decode"):
                 try:
                     path, image = next(decoded)
@@ -281,9 +336,13 @@ class ClassifierProcessor:
             if len(batch_files) >= self.batch_size:
                 flush()
         flush()
+        # a timed-out worker may still be running a hung model call; don't wait
+        pool.shutdown(wait=False)
 
         out: dict[str, tuple[str, Any]] = {}
         for name in classifiers:
+            if name in failed or not preds[name]:
+                continue
             res_df = rsltmgr.get_short_comparison(preds[name], self.top)
             res_df.index.name = "index"
             sum_df = rsltmgr.summarize(res_df)
