@@ -27,6 +27,33 @@ from wicca_tpu.ops.dwt_pallas import (
 )
 
 
+def _pass_sizes(levels: int) -> list[int]:
+    """Fine-side pass partition of a multi-level transform into fused Pallas
+    passes of <= 3 levels (the encoder's grouping; decode must mirror it)."""
+    sizes = []
+    lvl = 0
+    while lvl < levels:
+        sizes.append(min(3, levels - lvl))
+        lvl += sizes[-1]
+    return sizes
+
+
+def _crop_semantic(ll, details, h_sem: int, w_sem: int, levels: int):
+    """Crop tile-alignment padding off stored subbands, keeping the semantic
+    extent (h_sem, w_sem are the dims after the reference 2**levels padding).
+
+    Only valid for PAIR-LOCAL transforms (haar block transform, haar_int
+    S-transform): subband sample (i, j) of level l depends exactly on input
+    block [i*2^l:(i+1)*2^l, j*2^l:(j+1)*2^l], so dropping padding-born samples
+    never affects reconstruction of kept pixels. Wide wavelets (legall5.3 /
+    9/7) must keep their padded tile geometry."""
+    ll = ll[..., : h_sem >> levels, : w_sem >> levels]
+    out = []
+    for lvl, bands in enumerate(details, start=1):
+        out.append(tuple(b[..., : h_sem >> lvl, : w_sem >> lvl] for b in bands))
+    return ll, out
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["ll", "details"],
@@ -181,9 +208,16 @@ def encode(
         lvl = 0
         while lvl < levels:
             k = min(3, levels - lvl)
+            if wavelet == "haar_int":
+                # pair-local: crop each pass's tile padding back to the
+                # semantic extent (stored streams are then mesh-shape-
+                # independent — parallel.codec.tiled_encode bit-matches)
+                ll = ll[..., : x.shape[-2] >> lvl, : x.shape[-1] >> lvl]
             ll, dets = dwt53_multilevel_pallas(ll, k, filt=wavelet)
             details.extend(dets)
             lvl += k
+        if wavelet == "haar_int":
+            ll, details = _crop_semantic(ll, details, x.shape[-2], x.shape[-1], levels)
     elif wavelet == "haar":
         # fused passes of <=3 levels: one HBM read per pass; uint8 input
         # stays uint8 into the first pass (integer-exact early levels)
@@ -191,10 +225,12 @@ def encode(
         lvl = 0
         while lvl < levels:
             k = min(3, levels - lvl)
+            ll = ll[..., : x.shape[-2] >> lvl, : x.shape[-1] >> lvl]
             steps = tuple(spec.detail_step(lvl + i + 1) for i in range(k))
             ll, dets = dwt_multilevel_quant_pallas(ll, steps)
             details.extend(dets)
             lvl += k
+        ll, details = _crop_semantic(ll, details, x.shape[-2], x.shape[-1], levels)
     elif wavelet in ("bior4.4", "cdf97", "db2"):
         # fused tile-local float-lifting passes (wicca_tpu.ops.dwt97_pallas)
         from wicca_tpu.ops.dwt97_pallas import dwt97_multilevel_quant_pallas

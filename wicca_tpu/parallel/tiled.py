@@ -152,14 +152,32 @@ def tiled_idwt2(pyr: Pyramid, *, mesh: Mesh) -> jax.Array:
 
 def tiled_icon(image: jax.Array, depth: int, *, mesh: Mesh, mode="replicate", constant=0) -> jax.Array:
     """Reference-parity uint8 icon of a tiled gigapixel image (bit-exact:
-    Haar block-mean is tile-local at aligned tiles)."""
+    Haar block-mean is tile-local at aligned tiles).
+
+    uint8 input runs the fused Pallas icon kernel per shard
+    (:func:`wicca_tpu.ops.dwt_pallas.icon_pallas` — the ~550 GB/s path);
+    other dtypes take the XLA block-mean."""
     h, w = image.shape[-2], image.shape[-1]
     unit = 1 << depth
     out_h, out_w = -(-h // unit), -(-w // unit)
-    x = _pad_for_mesh(image, depth, mesh, mode, constant).astype(jnp.float32)
+    x = _pad_for_mesh(image, depth, mesh, mode, constant)
     spec = _img_spec(x.ndim)
 
-    def fn(xl):
+    if x.dtype == jnp.uint8:
+        from wicca_tpu.ops.dwt_pallas import icon_pallas
+
+        def fn(xl):
+            return icon_pallas(xl, depth)
+
+        try:
+            sharded = _shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sharded = _shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec, check_rep=False)
+        return unpad(sharded(x), out_h, out_w)
+
+    x = x.astype(jnp.float32)
+
+    def fn_xla(xl):
         ll = xl
         for _ in range(depth):
             e_r, o_r = ll[..., 0::2, :], ll[..., 1::2, :]
@@ -167,7 +185,7 @@ def tiled_icon(image: jax.Array, depth: int, *, mesh: Mesh, mode="replicate", co
             ll = (rs[..., 0::2] + rs[..., 1::2]) * jnp.float32(0.25)
         return jnp.clip(ll, 0, 255).astype(jnp.uint8)
 
-    icon = _shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
+    icon = _shard_map(fn_xla, mesh=mesh, in_specs=(spec,), out_specs=spec)(x)
     return unpad(icon, out_h, out_w)
 
 
