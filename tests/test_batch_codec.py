@@ -53,6 +53,32 @@ def test_batch_lossy_metrics(dataset):
     assert m["megapixels"] == pytest.approx(4 * 64 * 96 / 1e6, rel=1e-2)
 
 
+def test_batch_rgba_keep_alpha_roundtrip(tmp_path):
+    """encode_folder(keep_alpha=True) codes RGBA sources as 4-component
+    streams and decode_folder restores the RGBA PNG losslessly (ADVICE r2:
+    the batch encoder previously had no alpha path)."""
+    cv2 = pytest.importorskip("cv2")
+    src, enc_dir, dec_dir = tmp_path / "src", tmp_path / "wct", tmp_path / "rec"
+    src.mkdir()
+    rng = np.random.default_rng(1)
+    rgba = rng.integers(0, 256, (48, 64, 4), np.uint8)
+    cv2.imwrite(str(src / "a.png"), cv2.cvtColor(rgba, cv2.COLOR_RGBA2BGRA))
+
+    m = encode_folder(src, enc_dir, levels=2, wavelet="haar_int", threads=2, keep_alpha=True)
+    assert m["images"] == 1
+    from wicca_tpu.codec.container import load
+
+    assert load(str(enc_dir / "a.wct")).ll.shape[0] == 4
+    decode_folder(enc_dir, dec_dir, threads=2)
+    back = cv2.cvtColor(cv2.imread(str(dec_dir / "a.png"), cv2.IMREAD_UNCHANGED), cv2.COLOR_BGRA2RGBA)
+    np.testing.assert_array_equal(back, rgba)
+
+    # default stays RGB: alpha dropped as before
+    m2 = encode_folder(src, tmp_path / "wct_rgb", levels=2, wavelet="haar_int", threads=2)
+    assert m2["images"] == 1
+    assert load(str(tmp_path / "wct_rgb" / "a.wct")).ll.shape[0] == 3
+
+
 def test_batch_empty_folder_raises(tmp_path):
     (tmp_path / "empty").mkdir()
     with pytest.raises(ValueError, match="no images"):

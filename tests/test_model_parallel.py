@@ -37,6 +37,16 @@ def test_pipeline_parallel_gpipe(mesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_pipeline_stage_count_mismatch_raises(mesh):
+    """2x stages per device shards cleanly but would silently drop stages;
+    pp_apply must fail loudly instead (ADVICE r2)."""
+    n_stages = mesh.shape[mp.MODEL_AXIS]
+    params = mp.pp_stages_init(jax.random.PRNGKey(8), 2 * n_stages, d=16)
+    mb = jax.random.normal(jax.random.PRNGKey(9), (3, 4, 16))
+    with pytest.raises(ValueError, match="one stage per device"):
+        mp.pp_apply(params, mb, mesh)
+
+
 def test_expert_parallel_moe(mesh):
     n_dev = mesh.shape[mp.MODEL_AXIS]
     rng = jax.random.PRNGKey(4)

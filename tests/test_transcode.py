@@ -75,6 +75,37 @@ def test_transcode_file_layers_and_levels(img, tmp_path):
     np.testing.assert_array_equal(got2, want2)
 
 
+def test_transcode_preserves_source_layering(img, tmp_path):
+    """A codec-only rewrite keeps the source's SNR layers (ADVICE r2: the old
+    quality_layers=1 default silently flattened progressive streams)."""
+    from wicca_tpu.codec.container import peek_layers
+
+    s = encode(img, levels=3, spec=QuantSpec(base_step=1.0), wavelet="haar")
+    src = tmp_path / "layered.wct"
+    save(s, str(src), quality_layers=3, codec="rice")
+    assert peek_layers(str(src)) == 3
+
+    dst = tmp_path / "recodec.wct"
+    transcode(src, dst, codec="rc")  # no quality_layers: preserve
+    assert peek_layers(str(dst)) == 3
+    # the transcoded file still decodes progressively, matching the source
+    for ml in (1, 2, 3):
+        np.testing.assert_array_equal(
+            np.asarray(decode(load(str(dst), max_layers=ml), emit_u8=True)),
+            np.asarray(decode(load(str(src), max_layers=ml), emit_u8=True)),
+        )
+
+    # truncation clamps the preserved count; flat sources stay flat
+    dst2 = tmp_path / "trunc.wct"
+    transcode(src, dst2, max_layers=2)
+    assert peek_layers(str(dst2)) == 2
+    flat = tmp_path / "flat.wct"
+    save(s, str(flat))
+    dstf = tmp_path / "flat2.wct"
+    transcode(flat, dstf, codec="rc")
+    assert peek_layers(str(dstf)) == 1
+
+
 def test_transcode_recodec_identical(img, tmp_path):
     s = encode(img, levels=3, wavelet="haar_int")
     src = tmp_path / "rice.wct"

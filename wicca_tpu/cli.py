@@ -124,6 +124,7 @@ def _cmd_encode_batch(args) -> int:
         spec=QuantSpec(base_step=args.step), wavelet=args.wavelet,
         color=args.color, chroma_gain=args.chroma_gain, bit_depth=args.bit_depth,
         codec=args.codec, quality_layers=args.quality_layers, threads=args.threads,
+        keep_alpha=args.keep_alpha,
     )
     print(json.dumps(metrics))
     return 0
@@ -293,6 +294,8 @@ def build_parser() -> argparse.ArgumentParser:
     eb.add_argument("--bit-depth", type=int, default=None)
     eb.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"])
     eb.add_argument("--quality-layers", type=int, default=1)
+    eb.add_argument("--keep-alpha", action="store_true",
+                    help="keep the alpha plane of RGBA sources (coded as a 4th component)")
     eb.add_argument("--threads", type=int, default=8)
     eb.set_defaults(fn=_cmd_encode_batch)
 

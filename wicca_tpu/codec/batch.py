@@ -16,6 +16,7 @@ bounded, so gigapixel folders stream at O(prefetch) host memory.
 from __future__ import annotations
 
 import concurrent.futures
+import functools
 import logging
 import time
 from pathlib import Path
@@ -42,19 +43,25 @@ def encode_folder(
     quality_layers: int = 1,
     threads: int = 8,
     prefetch: int | None = None,
+    keep_alpha: bool = False,
 ) -> dict:
     """Encode every image in ``in_dir`` to ``<out_dir>/<stem>.wct``.
 
     Pipeline: ``prefetch`` loader threads run ahead of the device encode;
     serialize+write futures trail behind. Same-shape images reuse one
-    compiled encode (jit shape cache). Returns throughput metrics."""
+    compiled encode (jit shape cache). ``keep_alpha`` codes RGBA sources as
+    4-component streams (mirrors the single-image encode path; RGB sources
+    are unaffected). Returns throughput metrics."""
     in_dir, out_dir = Path(in_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     paths = list_images(in_dir)
     if not paths:
         raise ValueError(f"no images in {in_dir}")
     lookahead = prefetch if prefetch is not None else max(2, threads // 2)
-    loader = load_image_raw if (bit_depth or 8) > 8 else load_image
+    if (bit_depth or 8) > 8 or keep_alpha:
+        loader = functools.partial(load_image_raw, keep_alpha=keep_alpha)
+    else:
+        loader = load_image
 
     t0 = time.perf_counter()
     n_ok, mp_total, bytes_in, bytes_out = 0, 0.0, 0, 0

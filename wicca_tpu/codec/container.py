@@ -106,6 +106,23 @@ _TRAILER_MAGIC = b"WCTS"
 _TRAILER_VER = 1
 
 
+def peek_layers(data: bytes | str) -> int:
+    """Quality-layer count recorded in a container header (1 for flat
+    streams). Accepts raw bytes or a file path; reads only the header."""
+    if isinstance(data, (str, bytes)) and not isinstance(data, bytes):
+        with open(data, "rb") as f:
+            data = f.read(64)
+    if data[:4] not in (_MAGIC, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+        raise ValueError("not a WCT container")
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6}[data[:4]]
+    if version < 5:
+        return 1
+    off = 4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf") + 1
+    if version == 5:
+        return struct.unpack_from("<B", data, off)[0]
+    return struct.unpack_from("<BBBB", data, off)[1]  # WCT6: bit_depth, n_layers, ...
+
+
 def _trailer_bytes(unit_ends: list[int]) -> bytes:
     """Integrity trailer: per-unit (end_offset, crc) + self-CRC (module doc)."""
     t = bytearray(_TRAILER_MAGIC)

@@ -69,16 +69,24 @@ def transcode(
     max_layers: int | None = None,
     drop_levels: int = 0,
     codec: str = "auto",
-    quality_layers: int = 1,
+    quality_layers: int | None = None,
     threads: int = 8,
     allow_truncated: bool = False,
     on_error: str = "raise",
 ) -> dict:
     """Rewrite ``src`` -> ``dst`` applying layer truncation, level drops, and
-    entropy-codec/layering changes. Returns size metrics."""
-    from wicca_tpu.codec.container import load, save
+    entropy-codec/layering changes. Returns size metrics.
+
+    ``quality_layers=None`` (default) preserves the source's SNR layering
+    (after ``max_layers`` truncation), so a codec-only rewrite of a layered
+    stream stays progressive; pass an int to re-layer explicitly."""
+    from wicca_tpu.codec.container import load, peek_layers, save
 
     src, dst = Path(src), Path(dst)
+    if quality_layers is None:
+        quality_layers = peek_layers(str(src))
+        if max_layers is not None:
+            quality_layers = max(1, min(quality_layers, max_layers))
     stream = load(str(src), threads=threads, max_layers=max_layers,
                   allow_truncated=allow_truncated, on_error=on_error)
     stream = drop_finest_levels(stream, drop_levels)

@@ -131,6 +131,13 @@ def pp_apply(params: dict, microbatches: jax.Array, mesh: Mesh) -> jax.Array:
     outputs are psum-broadcast back (they are zero elsewhere)."""
     n_stages = mesh.shape[MODEL_AXIS]
     n_micro = microbatches.shape[0]
+    if params["w"].shape[0] != n_stages:
+        # the schedule below holds exactly one stage per device (w[0]); a
+        # mismatch would shard cleanly and silently drop/duplicate stages
+        raise ValueError(
+            f"pp_apply needs one stage per device: got {params['w'].shape[0]} "
+            f"stages on a {n_stages}-device '{MODEL_AXIS}' axis"
+        )
 
     @partial(
         shard_map,
