@@ -47,6 +47,13 @@ class _ConvBN(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # keras.applications compatibility knobs (tools/convert_weights.py): the
+    # Keras BatchNormalization default eps is 1e-3 (MobileNetV2/EfficientNet);
+    # ResNet/DenseNet set 1.001e-5 explicitly. relu6 is the MobileNet family
+    # activation; ResNet uses plain relu.
+    bias: bool = False
+    eps: float = 1e-3
+    act_fn: Callable = nn.relu6
 
     @nn.compact
     def __call__(self, x):
@@ -55,11 +62,11 @@ class _ConvBN(nn.Module):
             self.kernel,
             strides=self.strides,
             feature_group_count=self.groups,
-            use_bias=False,
+            use_bias=self.bias,
             dtype=self.dtype,
         )(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        return nn.relu6(x) if self.act else x
+        x = nn.BatchNorm(use_running_average=True, epsilon=self.eps, dtype=jnp.float32)(x)
+        return self.act_fn(x) if self.act else x
 
 
 class _InvertedResidual(nn.Module):
@@ -111,24 +118,34 @@ class MobileNetV2(nn.Module):
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
 
 
+_RESNET_EPS = 1.001e-5  # keras.applications ResNet/DenseNet BN epsilon
+
+
 class _Bottleneck(nn.Module):
+    """ResNet v1 bottleneck, keras.applications structure: the stride sits on
+    the FIRST 1x1 conv (keras resnet.py block1), convs carry biases, plain
+    relu, BN eps 1.001e-5 — so converted 'imagenet' weights reproduce Keras
+    activations."""
+
     features: int
     strides: tuple[int, int] = (1, 1)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
+        kw = dict(bias=True, eps=_RESNET_EPS, act_fn=nn.relu, dtype=self.dtype)
         residual = x
-        h = _ConvBN(self.features, (1, 1), dtype=self.dtype)(x)
-        h = _ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype)(h)
-        h = _ConvBN(self.features * 4, (1, 1), act=False, dtype=self.dtype)(h)
+        h = _ConvBN(self.features, (1, 1), self.strides, **kw)(x)
+        h = _ConvBN(self.features, (3, 3), **kw)(h)
+        h = _ConvBN(self.features * 4, (1, 1), act=False, **kw)(h)
         if residual.shape != h.shape:
-            residual = _ConvBN(self.features * 4, (1, 1), self.strides, act=False, dtype=self.dtype)(x)
+            residual = _ConvBN(self.features * 4, (1, 1), self.strides, act=False, **kw)(x)
         return nn.relu(h + residual)
 
 
 class ResNet50(nn.Module):
-    """ResNet-50 v1, 224x224 -> 1000 logits."""
+    """ResNet-50 v1, 224x224 -> 1000 logits (keras.applications-compatible
+    geometry: explicit (3,3) stem pad + (1,1) pool pad, not XLA SAME)."""
 
     num_classes: int = 1000
     dtype: jnp.dtype = jnp.bfloat16
@@ -137,10 +154,10 @@ class ResNet50(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=_RESNET_EPS, dtype=jnp.float32)(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, (feat, blocks) in enumerate(self.stages):
             for i in range(blocks):
                 strides = (2, 2) if stage > 0 and i == 0 else (1, 1)
@@ -176,7 +193,7 @@ class _MBConv(nn.Module):
         inp = x.shape[-1]
         h = x
         if self.expand != 1:
-            h = _ConvBN(inp * self.expand, (1, 1), dtype=self.dtype)(h)
+            h = _ConvBN(inp * self.expand, (1, 1), act_fn=nn.silu, dtype=self.dtype)(h)
         h = nn.Conv(
             inp * self.expand,
             self.kernel,
@@ -185,7 +202,7 @@ class _MBConv(nn.Module):
             use_bias=False,
             dtype=self.dtype,
         )(h)
-        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(h)
+        h = nn.BatchNorm(use_running_average=True, epsilon=1e-3, dtype=jnp.float32)(h)
         h = nn.silu(h)
         h = _SqueezeExcite(inp, dtype=self.dtype)(h)
         h = _ConvBN(self.features, (1, 1), act=False, dtype=self.dtype)(h)
@@ -214,12 +231,12 @@ class EfficientNetB0(nn.Module):
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x = nn.Conv(32, (3, 3), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, dtype=jnp.float32)(x)
         x = nn.silu(x)
         for t, c, n, s, k in self.config:
             for i in range(n):
                 x = _MBConv(c, (k, k), (s, s) if i == 0 else (1, 1), t, dtype=self.dtype)(x)
-        x = _ConvBN(1280, (1, 1), dtype=self.dtype)(x)
+        x = _ConvBN(1280, (1, 1), act_fn=nn.silu, dtype=self.dtype)(x)
         x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
 
@@ -383,17 +400,19 @@ class _DenseBlockLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        h = nn.BatchNorm(use_running_average=True, epsilon=_RESNET_EPS, dtype=jnp.float32)(x)
         h = nn.relu(h)
         h = nn.Conv(4 * self.growth, (1, 1), use_bias=False, dtype=self.dtype)(h)
-        h = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(h)
+        h = nn.BatchNorm(use_running_average=True, epsilon=_RESNET_EPS, dtype=jnp.float32)(h)
         h = nn.relu(h)
         h = nn.Conv(self.growth, (3, 3), use_bias=False, dtype=self.dtype)(h)
         return jnp.concatenate([x, h.astype(x.dtype)], axis=-1)
 
 
 class DenseNet121(nn.Module):
-    """DenseNet-121 (Huang et al. 2017), 224x224 -> 1000 logits."""
+    """DenseNet-121 (Huang et al. 2017), 224x224 -> 1000 logits
+    (keras.applications-compatible geometry: explicit (3,3) stem pad +
+    (1,1) pool pad, BN eps 1.001e-5)."""
 
     num_classes: int = 1000
     growth: int = 32
@@ -403,19 +422,19 @@ class DenseNet121(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=_RESNET_EPS, dtype=jnp.float32)(x)
         x = nn.relu(x).astype(self.dtype)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for si, layers in enumerate(self.stage_layers):
             for _ in range(layers):
                 x = _DenseBlockLayer(self.growth, dtype=self.dtype)(x)
             if si != len(self.stage_layers) - 1:
-                x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+                x = nn.BatchNorm(use_running_average=True, epsilon=_RESNET_EPS, dtype=jnp.float32)(x)
                 x = nn.relu(x)
                 x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False, dtype=self.dtype)(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        x = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=_RESNET_EPS, dtype=jnp.float32)(x)
         x = jnp.mean(nn.relu(x), axis=(1, 2)).astype(jnp.float32)
         return nn.Dense(self.num_classes)(x)
 
