@@ -159,12 +159,11 @@ inline void put_gamma(BitWriter& bw, uint32_t v) {
 }
 
 inline uint32_t get_gamma(BitReader& br) {
-    int ext = 0;
-    while (br.get(1)) {
-        ext++;
-        if (br.error || ext > 31) { br.error = true; return 0; }
-    }
-    uint32_t low = ext ? br.get(ext) : 0;
+    // ctz-based ones count (get_unary) instead of bit-by-bit gets; gamma
+    // lengths here are <= 10 bits (runs <= BLOCK), so 32 ones = corruption
+    uint32_t ext = br.get_unary(32);
+    if (br.error || ext >= 32) { br.error = true; return 0; }
+    uint32_t low = ext ? br.get(static_cast<int>(ext)) : 0;
     return (1u << ext) | low;
 }
 
@@ -203,36 +202,41 @@ template <typename T, int RAWBITS>
 size_t encode_impl(const T* codes, size_t n, uint8_t* out, size_t cap) {
     BitWriter bw{out, cap};
     uint32_t u[BLOCK];
+    uint32_t nz[BLOCK];
+    int16_t pos[BLOCK];
     for (size_t start = 0; start < n; start += BLOCK) {
+        const T* p = codes + start;
         int blk = static_cast<int>(std::min<size_t>(BLOCK, n - start));
-        int zeros = 0;
+        // branchless nonzero extraction (VERDICT r2 #7: the old per-element
+        // branchy scan dominated sparse deadzone planes): one pass records
+        // each nonzero's zigzag-1 and position; runs fall out of position
+        // deltas, so emission never rescans the block
+        int m = 0;
         for (int i = 0; i < blk; i++) {
-            u[i] = zigzag32(static_cast<int32_t>(codes[start + i]));
-            if (u[i] == 0) zeros++;
+            uint32_t z = zigzag32(static_cast<int32_t>(p[i]));
+            nz[m] = z - 1;
+            pos[m] = static_cast<int16_t>(i);
+            m += (z != 0);
         }
-        bool zero_run = zeros * 4 >= blk * 3;
+        bool zero_run = (blk - m) * 4 >= blk * 3;
         if (zero_run) {
-            // k from the nonzero values' (value-1) mean
-            uint32_t nz[BLOCK];
-            int m = 0;
-            for (int i = 0; i < blk; i++)
-                if (u[i]) nz[m++] = u[i] - 1;
             int k = m ? pick_k(nz, m) : 0;
             bw.put(1, 1);
             bw.put(static_cast<uint32_t>(k), 5);
-            int i = 0;
-            while (i < blk) {
-                int run = 0;
-                while (i + run < blk && u[i + run] == 0) run++;
-                put_gamma(bw, static_cast<uint32_t>(run + 1));
-                i += run;
-                if (i < blk) {
-                    put_rice<RAWBITS>(bw, u[i] - 1, k);
-                    i++;
-                }
+            int prev = -1;
+            for (int j = 0; j < m; j++) {
+                put_gamma(bw, static_cast<uint32_t>(pos[j] - prev));  // run+1
+                put_rice<RAWBITS>(bw, nz[j], k);
+                prev = pos[j];
+                if (bw.overflow) return 0;
+            }
+            if (prev + 1 < blk) {  // trailing zero run
+                put_gamma(bw, static_cast<uint32_t>(blk - prev - 1 + 1));
                 if (bw.overflow) return 0;
             }
         } else {
+            for (int i = 0; i < blk; i++)  // branch-free, auto-vectorized
+                u[i] = zigzag32(static_cast<int32_t>(p[i]));
             int k = pick_k(u, blk);
             bw.put(0, 1);
             bw.put(static_cast<uint32_t>(k), 5);
