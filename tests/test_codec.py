@@ -464,6 +464,55 @@ def test_decode_region_tiled_float_wavelet():
     np.testing.assert_array_equal(roi, full[..., 600:800, :])
 
 
+def test_decode_region_tiled_multipass_exact():
+    """Depth > 3 tiled wide wavelets run a pass CASCADE; the hierarchical
+    region decode (region_plan, VERDICT r2 #8) must stay bit-identical to the
+    full-decode crop across pass boundaries and tile seams."""
+    from wicca_tpu.codec.pipeline import decode_region
+
+    x = _img((1, 1100, 96), seed=26)
+    for wavelet in ("legall5.3", "bior4.4"):
+        stream = encode(x, levels=5, spec=QuantSpec(base_step=1.0), wavelet=wavelet)
+        full = np.asarray(decode(stream))
+        for window in ((520, 700, 10, 90), (0, 40, 0, 96), (1050, 1100, 30, 60)):
+            roi = np.asarray(decode_region(stream, *window))
+            r0, r1, c0, c1 = window
+            np.testing.assert_array_equal(roi, full[..., r0:r1, c0:c1], err_msg=f"{wavelet} {window}")
+
+
+def test_region_plan_fraction_math():
+    """Shape-only accounting: on an 8K-class depth-5 tiled stream a 512x512
+    window touches a small fraction of the coefficients (the old coarsest-
+    grid alignment of (512,1024)<<3 pixels would touch 100%)."""
+    import dataclasses as _dc
+
+    from wicca_tpu.codec.pipeline import region_coefficient_fraction
+
+    # build a shape-faithful synthetic stream: per-pass tile padding as the
+    # encoder applies it (pass inputs pad to (512,1024) multiples)
+    H, W, levels = 4352, 7680, 5
+    sizes, shapes, lvl = [], [], 0
+    h, w = H, W
+    while lvl < levels:
+        k = min(3, levels - lvl)
+        h = -(-h // 512) * 512
+        w = -(-w // 1024) * 1024
+        for i in range(1, k + 1):
+            shapes.append((h >> i, w >> i))
+        h, w = h >> k, w >> k
+        lvl += k
+    details = tuple(
+        tuple(np.zeros((1, sh, sw), np.int16) for _ in range(3)) for sh, sw in shapes
+    )
+    stream = CodeStream(
+        ll=np.zeros((1, shapes[-1][0], shapes[-1][1]), np.float32),
+        details=details, spec=QuantSpec(base_step=1.0), levels=levels,
+        orig_shape=(H, W), wavelet="bior4.4", layout="tiled",
+    )
+    frac = region_coefficient_fraction(stream, 2000, 2512, 3000, 3512)
+    assert frac < 0.25, frac
+
+
 def test_decode_region_global_lifting_margin():
     """Global-layout streams (v1-era wide wavelets): the halo margin covers
     the inverse cascade, so the window matches the full inverse to float
