@@ -15,6 +15,8 @@ Works identically on real TPU slices and on CPU with
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -24,26 +26,101 @@ TILE_ROW_AXIS = "ty"
 TILE_COL_AXIS = "tx"
 
 
-def init_distributed(coordinator: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    retries: int = 3,
+    backoff_s: float = 5.0,
+) -> bool:
     """Multi-controller init for multi-host slices (SURVEY.md §5: the
     reference is single-process; this wraps jax.distributed.initialize).
 
     With no arguments, relies on the TPU environment's auto-detection (GKE /
     Cloud TPU metadata). No-op when already initialized or single-process.
+
+    Fault handling: multi-host bring-up races are the norm (workers start at
+    different times; the coordinator may not be listening yet), so failed
+    attempts retry with linear backoff. Returns True when the distributed
+    runtime is up (or already was), False when every attempt failed and the
+    process should treat itself as single-host.
     """
     import logging
+    import time
 
-    try:
-        if coordinator is None and num_processes is None:
-            jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator,
-                num_processes=num_processes,
-                process_id=process_id,
+    last: Exception | None = None
+    for attempt in range(max(1, retries)):
+        try:
+            if coordinator is None and num_processes is None:
+                jax.distributed.initialize()
+            else:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                )
+            return True
+        except RuntimeError as e:
+            if "already initialized" in str(e).lower():
+                return True
+            last = e
+        except ValueError as e:
+            # config error (bad address / no backend): retrying won't help
+            logging.info(f"jax.distributed not initialized: {e}")
+            return False
+        if attempt + 1 < retries:
+            logging.warning(
+                f"jax.distributed.initialize failed (attempt {attempt + 1}/{retries}): "
+                f"{last}; retrying in {backoff_s * (attempt + 1):.0f}s"
             )
-    except (RuntimeError, ValueError) as e:
-        logging.info(f"jax.distributed not (re)initialized: {e}")
+            time.sleep(backoff_s * (attempt + 1))
+    logging.warning(f"jax.distributed unavailable after {retries} attempts: {last}")
+    return False
+
+
+def mesh_health_check(mesh: Mesh, timeout_s: float = 60.0) -> bool:
+    """Pre-flight collective check: one tiny psum across every mesh axis must
+    return the device count. Catches a dead/hung ICI link or a wedged worker
+    BEFORE a long run commits to the mesh (SURVEY.md §5 failure-detection
+    row; the reference has no distributed runtime to check).
+
+    Runs the collective on a worker thread so a hang surfaces as a timely
+    False instead of blocking the job forever.
+    """
+    import concurrent.futures
+
+    import jax.numpy as jnp
+    from jax import shard_map
+
+    axes = tuple(mesh.axis_names)
+    n = int(np.prod([mesh.shape[a] for a in axes]))
+
+    def _probe() -> int:
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(*axes),), out_specs=P(),
+        )
+        def count(x):
+            total = x
+            for a in axes:
+                total = jax.lax.psum(total, a)
+            return total
+
+        ones = jnp.ones((n,) + (1,) * (len(axes) - 1), jnp.int32).reshape(
+            tuple(mesh.shape[a] for a in axes)
+        )
+        return int(np.asarray(count(ones))[(0,) * len(axes)])
+
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(_probe)
+    try:
+        return fut.result(timeout=timeout_s) == n
+    except Exception:  # noqa: BLE001 - timeout or compile/runtime failure
+        return False
+    finally:
+        # do NOT join a wedged worker — that would turn the timeout back
+        # into a hang; the thread is abandoned and the process stays live
+        pool.shutdown(wait=False)
 
 
 def make_mesh(data: int = 1, ty: int = 1, tx: int = 1, devices=None) -> Mesh:
