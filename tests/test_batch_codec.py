@@ -53,6 +53,26 @@ def test_batch_lossy_metrics(dataset):
     assert m["megapixels"] == pytest.approx(4 * 64 * 96 / 1e6, rel=1e-2)
 
 
+def test_batch_decode_at_level_previews(dataset):
+    """decode_folder(at_level=r) bulk-extracts 1/2**r previews, matching the
+    single-stream decode_at_level path exactly."""
+    import cv2
+
+    from wicca_tpu.codec.container import load
+    from wicca_tpu.codec.pipeline import decode_at_level
+    from wicca_tpu.data.loader import from_planar
+
+    root, src, imgs = dataset
+    enc_dir, prev_dir = root / "wct_prev", root / "previews"
+    encode_folder(src, enc_dir, levels=3, wavelet="legall5.3", threads=2)
+    d = decode_folder(enc_dir, prev_dir, threads=2, at_level=1)
+    assert d["images"] == 4
+    back = cv2.cvtColor(cv2.imread(str(prev_dir / "im0.png")), cv2.COLOR_BGR2RGB)
+    assert back.shape[:2] == (32, 48)  # 64x96 at 1/2
+    want = from_planar(np.asarray(decode_at_level(load(str(enc_dir / "im0.wct")), 1, emit_u8=True)))
+    np.testing.assert_array_equal(back, want)
+
+
 def test_batch_rgba_keep_alpha_roundtrip(tmp_path):
     """encode_folder(keep_alpha=True) codes RGBA sources as 4-component
     streams and decode_folder restores the RGBA PNG losslessly (ADVICE r2:

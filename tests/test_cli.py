@@ -100,6 +100,20 @@ def test_encode_quality_layers_and_region_cli(workdir, capsys):
     assert roi.shape[:2] == (32, 32)
 
 
+def test_decode_at_level_cli(workdir, capsys):
+    assert main(["encode", str(workdir / "imgs" / "im2.png"), str(workdir / "im2.wct"),
+                 "--levels", "3"]) == 0
+    assert main(["decode", str(workdir / "im2.wct"), str(workdir / "half2.png"),
+                 "--at-level", "1"]) == 0
+    import cv2
+
+    half = cv2.imread(str(workdir / "half2.png"))
+    assert half.shape[:2] == (48, 64)  # 96x128 source at 1/2 resolution
+    # mutually exclusive with --region
+    assert main(["decode", str(workdir / "im2.wct"), str(workdir / "x.png"),
+                 "--at-level", "1", "--region", "0", "8", "0", "8"]) == 2
+
+
 def test_encode_decode_u16_roundtrip(workdir, capsys):
     """16-bit PNG auto-detects the hi-depth path; lossless wavelet roundtrips
     bit-exactly through the CLI."""

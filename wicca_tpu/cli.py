@@ -94,7 +94,8 @@ def _cmd_encode(args) -> int:
         note = f"  [rate control: step {info['step']:.3g}, {info['psnr_db']} dB, {info['probes']} probes]"
     else:
         stream = encode(
-            planar, levels=args.levels, spec=QuantSpec(base_step=args.step),
+            planar, levels=args.levels,
+            spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain),
             wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
             bit_depth=args.bit_depth,
         )
@@ -121,7 +122,7 @@ def _cmd_encode_batch(args) -> int:
 
     metrics = encode_folder(
         args.input_dir, args.output_dir, levels=args.levels,
-        spec=QuantSpec(base_step=args.step), wavelet=args.wavelet,
+        spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain), wavelet=args.wavelet,
         color=args.color, chroma_gain=args.chroma_gain, bit_depth=args.bit_depth,
         codec=args.codec, quality_layers=args.quality_layers, threads=args.threads,
         keep_alpha=args.keep_alpha,
@@ -136,7 +137,8 @@ def _cmd_decode_batch(args) -> int:
     from wicca_tpu.codec.batch import decode_folder
 
     metrics = decode_folder(
-        args.input_dir, args.output_dir, threads=args.threads, on_error=args.on_error
+        args.input_dir, args.output_dir, threads=args.threads, on_error=args.on_error,
+        at_level=args.at_level,
     )
     print(json.dumps(metrics))
     return 0
@@ -147,13 +149,20 @@ def _cmd_decode(args) -> int:
     import numpy as np
 
     from wicca_tpu.codec import decode, decode_region, load
+    from wicca_tpu.codec.pipeline import decode_at_level
     from wicca_tpu.data.loader import from_planar
 
     stream = load(args.input, threads=args.threads, max_layers=args.max_layers,
                   allow_truncated=args.allow_truncated, on_error=args.on_error)
+    if args.region is not None and args.at_level:
+        print("error: --region and --at-level are mutually exclusive", file=sys.stderr)
+        return 2
     if args.region is not None:
         r0, r1, c0, c1 = args.region
         rec = np.asarray(decode_region(stream, r0, r1, c0, c1, emit_u8=True))
+    elif args.at_level:
+        # resolution-progressive: 1/2**r output from the coarse subbands only
+        rec = np.asarray(decode_at_level(stream, args.at_level, emit_u8=True))
     else:
         # native-dtype emission: uint8, or uint16 for hi-depth streams
         rec = np.asarray(decode(stream, emit_u8=True))
@@ -244,6 +253,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("output")
     e.add_argument("--levels", type=int, default=5)
     e.add_argument("--step", type=float, default=1.0, help="deadzone quantization step")
+    e.add_argument("--hh-gain", type=float, default=1.0,
+                   help="visual weighting: quantize the diagonal (HH) band this much "
+                        "coarser (CSF is least sensitive there; try 1.5-2)")
     e.add_argument("--target-bpp", type=float, default=None,
                    help="rate control: pick the finest step meeting this bits-per-pixel budget (overrides --step)")
     e.add_argument("--target-psnr", type=float, default=None,
@@ -287,6 +299,7 @@ def build_parser() -> argparse.ArgumentParser:
     eb.add_argument("output_dir")
     eb.add_argument("--levels", type=int, default=5)
     eb.add_argument("--step", type=float, default=1.0)
+    eb.add_argument("--hh-gain", type=float, default=1.0)
     eb.add_argument("--wavelet", default="haar",
                     choices=["haar", "db2", "bior4.4", "cdf97", "legall5.3", "cdf53", "haar_int"])
     eb.add_argument("--color", default="none", choices=["none", "rct", "ict"])
@@ -304,6 +317,8 @@ def build_parser() -> argparse.ArgumentParser:
     db.add_argument("output_dir")
     db.add_argument("--threads", type=int, default=8)
     db.add_argument("--on-error", default="raise", choices=["raise", "zero"])
+    db.add_argument("--at-level", type=int, default=0, metavar="R",
+                    help="bulk previews: decode every stream at 1/2**R resolution")
     db.set_defaults(fn=_cmd_decode_batch)
 
     d = sub.add_parser("decode", help="decode a .wct codestream to an image")
@@ -317,6 +332,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accept a byte-truncated layered stream (decode complete layers)")
     d.add_argument("--region", nargs=4, type=int, metavar=("ROW0", "ROW1", "COL0", "COL1"),
                    default=None, help="decode only this pixel window (spatial random access)")
+    d.add_argument("--at-level", type=int, default=0, metavar="R",
+                   help="resolution-progressive decode at 1/2**R size (coarse subbands only)")
     d.add_argument("--on-error", default="raise", choices=["raise", "zero"],
                    help="'zero' decodes around checksum-corrupt detail planes instead of failing")
     d.set_defaults(fn=_cmd_decode)

@@ -117,9 +117,14 @@ def decode_folder(
     on_error: str = "raise",
     suffix: str = ".png",
     prefetch: int | None = None,
+    at_level: int = 0,
 ) -> dict:
     """Decode every ``.wct`` in ``in_dir`` to ``<out_dir>/<stem><suffix>``
-    (native dtype: uint8, or uint16 for hi-depth streams)."""
+    (native dtype: uint8, or uint16 for hi-depth streams).
+
+    ``at_level=r`` reconstructs at 1/2**r resolution from the coarse
+    subbands only (resolution scalability) — the fast path for bulk
+    thumbnail/preview extraction from an archive of streams."""
     import cv2
 
     in_dir, out_dir = Path(in_dir), Path(out_dir)
@@ -157,7 +162,12 @@ def decode_folder(
             path, fut = loads.pop(0)
             _fill()
             stream = fut.result()
-            rec = np.asarray(decode(stream, emit_u8=True))
+            if at_level:
+                from wicca_tpu.codec.pipeline import decode_at_level
+
+                rec = np.asarray(decode_at_level(stream, min(at_level, stream.levels), emit_u8=True))
+            else:
+                rec = np.asarray(decode(stream, emit_u8=True))
             writes.append(pool.submit(_write, rec, out_dir / (path.stem + suffix)))
             n += 1
             mp_total += stream.orig_shape[0] * stream.orig_shape[1] / 1e6

@@ -28,6 +28,14 @@ Quality-layered variant (``quality_layers`` > 1; SNR scalability):
   lossless). Layers are strictly append-only in the byte stream, so a
   truncated file/prefix decodes at reduced quality (``allow_truncated``).
 
+Extended-header variants:
+  WCT6 — written when bit_depth != 8 or the stream is ROI-coded: after the
+  layout byte the header gains u8 bit_depth | u8 n_layers | u8 roi_shift |
+  u8 bg_shift (n_layers == 1 -> flat sections, > 1 -> layered sections);
+  detail planes may be int32 (dtype code 2).
+  WCT7 — written when the spec carries visual frequency weighting
+  (QuantSpec.hh_gain != 1): the WCT6 extended block + f32 hh_gain.
+
 Detail-plane codecs (both in wicca_tpu/native/entropy.cpp, formats FROZEN):
   0 rice — adaptive Rice/Golomb with zero-run blocks; fastest.
   1 rc   — context-modeled binary range coder; 10-25% smaller on clustered
@@ -44,6 +52,15 @@ Older magics stay readable:
          kernels postdate the format), so they map to layout='global' —
          routing them through the tiled inverse would mis-decode images
          larger than one (512,1024) tile at every tile seam.
+
+``layout='tiled'`` PINS the (512, 1024) per-pass tile grid as part of the
+format, exactly like the pass partition (fine-side groups of <= 3 levels):
+every shipped tiled stream was encoded on that grid, and both
+``decode_at_level``'s ``orig_k`` clamps and ``decode_region``'s
+hierarchical pass windows (codec/pipeline.region_plan) reconstruct it from
+these constants. Changing ``ops.dwt_pallas._TILE_H/_TILE_W`` therefore
+requires a new layout code, not just recompilation — old streams would
+silently mis-decode at the old seams.
 
 Integrity trailer (``checksums=True``, the default): after the last plane
 section the writer appends
@@ -84,6 +101,9 @@ _MAGIC_V5 = b"WCT5"  # quality-layered variant (written when quality_layers > 1)
 # (n_layers == 1 -> flat WCT4-style sections, > 1 -> WCT5-style layered
 # sections); detail planes may be int32 (dtype code 2)
 _MAGIC_V6 = b"WCT6"
+# WCT7 — written when the spec carries visual frequency weighting
+# (QuantSpec.hh_gain != 1): WCT6 layout + f32 hh_gain after the BBBB block
+_MAGIC_V7 = b"WCT7"
 _MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
 _MAGIC_V1 = b"WCT1"  # still readable: no color fields; wide streams GLOBAL
@@ -112,15 +132,15 @@ def peek_layers(data: bytes | str) -> int:
     if isinstance(data, (str, bytes)) and not isinstance(data, bytes):
         with open(data, "rb") as f:
             data = f.read(64)
-    if data[:4] not in (_MAGIC, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+    if data[:4] not in (_MAGIC, _MAGIC_V7, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6}[data[:4]]
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6, _MAGIC_V7: 7}[data[:4]]
     if version < 5:
         return 1
     off = 4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf") + 1
     if version == 5:
         return struct.unpack_from("<B", data, off)[0]
-    return struct.unpack_from("<BBBB", data, off)[1]  # WCT6: bit_depth, n_layers, ...
+    return struct.unpack_from("<BBBB", data, off)[1]  # WCT6/7: bit_depth, n_layers, ...
 
 
 def _trailer_bytes(unit_ends: list[int]) -> bytes:
@@ -249,8 +269,12 @@ def serialize(
     bit_depth = getattr(stream, "bit_depth", 8)
     roi_shift = getattr(stream, "roi_shift", 0)
     bg_shift = getattr(stream, "bg_shift", 0)
-    v6 = bit_depth != 8 or roi_shift > 0
-    if v6:
+    hh_gain = getattr(stream.spec, "hh_gain", 1.0)
+    v7 = hh_gain != 1.0
+    v6 = (bit_depth != 8 or roi_shift > 0) and not v7
+    if v7:
+        out += _MAGIC_V7
+    elif v6:
         out += _MAGIC_V6
     else:
         out += _MAGIC_V5 if quality_layers > 1 else _MAGIC
@@ -268,8 +292,10 @@ def serialize(
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
-    if v6:
+    if v6 or v7:
         out += struct.pack("<BBBB", bit_depth, quality_layers, roi_shift, bg_shift)
+    if v7:
+        out += struct.pack("<f", hh_gain)
     units: list[tuple[int, int]] = []  # (end_offset, crc32) per unit
 
     def _close_unit(start: int) -> None:
@@ -290,9 +316,10 @@ def serialize(
         if checksums:
             out += _trailer_bytes(units)
         return bytes(out)
-    # WCT5/6 quality-layered: layer-major sections so any byte prefix covering
-    # complete layers decodes at reduced quality (v6 already wrote n_layers)
-    if not v6:
+    # WCT5/6/7 quality-layered: layer-major sections so any byte prefix
+    # covering complete layers decodes at reduced quality (v6/v7 already
+    # wrote n_layers)
+    if not (v6 or v7):
         out += struct.pack("<B", quality_layers)
     out += ll.tobytes()
     subs = [_split_layers(p, quality_layers) for p in planes]
@@ -334,9 +361,9 @@ def deserialize(
     corruption of the header/LL section always raises."""
     if on_error not in ("raise", "zero"):
         raise ValueError(f"on_error must be raise|zero, got {on_error!r}")
-    if data[:4] not in (_MAGIC, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+    if data[:4] not in (_MAGIC, _MAGIC_V7, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6}[data[:4]]
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6, _MAGIC_V7: 7}[data[:4]]
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
@@ -356,13 +383,17 @@ def deserialize(
     n_layers = 1
     bit_depth = 8
     roi_shift = bg_shift = 0
+    hh_gain = 1.0
     if version == 5:
         (n_layers,) = struct.unpack_from("<B", data, off)
         off += 1
-    elif version == 6:
+    elif version >= 6:
         bit_depth, n_layers, roi_shift, bg_shift = struct.unpack_from("<BBBB", data, off)
         off += 4
-    layered = version == 5 or (version == 6 and n_layers > 1)
+    if version >= 7:
+        (hh_gain,) = struct.unpack_from("<f", data, off)
+        off += 4
+    layered = version == 5 or (version >= 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
     off += ll.nbytes
@@ -562,7 +593,7 @@ def deserialize(
                 _, dt_code, sh, sw = metas[i]
                 planes[i] = np.zeros((lead, sh, sw), dtype=_DTYPES_INV[dt_code])
     details = tuple(tuple(planes[i * 3 : i * 3 + 3]) for i in range(levels))
-    spec = QuantSpec(base_step=base_step, level_gain=level_gain)
+    spec = QuantSpec(base_step=base_step, level_gain=level_gain, hh_gain=hh_gain)
     return CodeStream(
         ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
         wavelet=_WAVELETS_INV[wv], color=_COLORS_INV[color], chroma_gain=float(chroma_gain),

@@ -195,8 +195,10 @@ def encode(
             ll = x.astype(jnp.float32)
             for lvl in range(1, levels + 1):
                 ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
-                step = spec.detail_step(lvl)
-                details.append(tuple(quantize_deadzone(b, step, jnp.int32) for b in (lh, hl, hh)))
+                details.append(tuple(
+                    quantize_deadzone(b, s, jnp.int32)
+                    for b, s in zip((lh, hl, hh), spec.band_steps(lvl))
+                ))
     elif wavelet in ("legall5.3", "haar_int"):
         # fused tile-local Pallas passes (JPEG2000-style independent tiles
         # for 5/3; the haar_int S-transform is pair-local so its tiling is
@@ -226,7 +228,7 @@ def encode(
         while lvl < levels:
             k = min(3, levels - lvl)
             ll = ll[..., : x.shape[-2] >> lvl, : x.shape[-1] >> lvl]
-            steps = tuple(spec.detail_step(lvl + i + 1) for i in range(k))
+            steps = tuple(spec.band_steps(lvl + i + 1) for i in range(k))
             ll, dets = dwt_multilevel_quant_pallas(ll, steps)
             details.extend(dets)
             lvl += k
@@ -240,7 +242,7 @@ def encode(
         lvl = 0
         while lvl < levels:
             k = min(3, levels - lvl)
-            steps = tuple(spec.detail_step(lvl + i + 1) for i in range(k))
+            steps = tuple(spec.band_steps(lvl + i + 1) for i in range(k))
             ll, dets = dwt97_multilevel_quant_pallas(ll, steps, filt=filt)
             details.extend(dets)
             lvl += k
@@ -253,8 +255,10 @@ def encode(
         ll = x
         for lvl in range(1, levels + 1):
             ll, lh, hl, hh = dwt2_level_lifting(ll, wavelet)
-            step = spec.detail_step(lvl)
-            details.append(tuple(quantize_deadzone(b, step, jnp.int16) for b in (lh, hl, hh)))
+            details.append(tuple(
+                quantize_deadzone(b, s, jnp.int16)
+                for b, s in zip((lh, hl, hh), spec.band_steps(lvl))
+            ))
     return CodeStream(
         ll=ll, details=tuple(details), spec=spec, levels=levels, orig_shape=orig,
         wavelet=wavelet, color=color, chroma_gain=chroma_gain, layout=layout,
@@ -343,7 +347,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
         for k in reversed(sizes):
             lo = hi - k
             dets = [stream.details[i] for i in range(lo, hi)]
-            steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
+            steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
             ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
             x = x[..., :ch, :cw]
             x = idwt97_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0, filt=filt)
@@ -360,7 +364,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
         for k in reversed(sizes):
             lo = hi - k  # pass covers levels lo+1..hi
             dets = [stream.details[i] for i in range(lo, hi)]
-            steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
+            steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
             from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
 
             ch, cw = detail_spatial_shape(dets[-1][0], k)
@@ -373,13 +377,13 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
 
         for lvl in range(stream.levels, 0, -1):
             lh, hl, hh = stream.details[lvl - 1]
-            step = stream.spec.detail_step(lvl)
+            s_lh, s_hl, s_hh = stream.spec.band_steps(lvl)
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(
                 x,
-                dequantize_deadzone(lh, step),
-                dequantize_deadzone(hl, step),
-                dequantize_deadzone(hh, step),
+                dequantize_deadzone(lh, s_lh),
+                dequantize_deadzone(hl, s_hl),
+                dequantize_deadzone(hh, s_hh),
                 stream.wavelet,
             )
     return _finish_decode(stream, x, emit_u8)
@@ -538,7 +542,7 @@ def _decode_region_tiled_wide(stream: CodeStream, row0, row1, col0, col1, emit_u
         else:
             from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
 
-            steps = tuple(stream.spec.detail_step(i + 1) for i in range(lo, hi))
+            steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
             x = idwt97_multilevel_dequant_pallas(ll, dets, steps, filt=filt)
         pa0, pb0 = a0, b0
     x = _undo_color(stream, x)
@@ -690,7 +694,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             if hi <= target_level:
                 break
             use = [stream.details[i] for i in range(max(lo, target_level), hi)]
-            steps = tuple(stream.spec.detail_step(i + 1) for i in range(max(lo, target_level), hi))
+            steps = tuple(stream.spec.band_steps(i + 1) for i in range(max(lo, target_level), hi))
             ch, cw = use[-1][0].shape[-2], use[-1][0].shape[-1]
             x = x[..., :ch, :cw]
             x = idwt97_multilevel_dequant_pallas(x, use, steps, orig_k=k, filt=filt)
@@ -707,13 +711,13 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         x = stream.ll
         for lvl in range(stream.levels, target_level, -1):
             lh, hl, hh = stream.details[lvl - 1]
-            step = stream.spec.detail_step(lvl)
+            s_lh, s_hl, s_hh = stream.spec.band_steps(lvl)
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(
                 x,
-                dequantize_deadzone(lh, step),
-                dequantize_deadzone(hl, step),
-                dequantize_deadzone(hh, step),
+                dequantize_deadzone(lh, s_lh),
+                dequantize_deadzone(hl, s_hl),
+                dequantize_deadzone(hh, s_hh),
                 stream.wavelet,
             )
         x = _undo_color(stream, x)
@@ -741,7 +745,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             break
         # partial pass: only the levels above target_level
         use = [stream.details[i] for i in range(max(lo, target_level), hi)]
-        steps = tuple(stream.spec.detail_step(i + 1) for i in range(max(lo, target_level), hi))
+        steps = tuple(stream.spec.band_steps(i + 1) for i in range(max(lo, target_level), hi))
         ch, cw = detail_spatial_shape(use[-1][0], len(use))
         x = x[..., :ch, :cw]
         x = idwt_multilevel_dequant_pallas(x, use, steps)

@@ -18,13 +18,15 @@ from wicca_tpu.core.quant import QuantSpec
 
 
 def rd_point(image, step: float, levels: int = 5, wavelet: str = "haar", actual_bytes: bool = False,
-             color: str = "none", chroma_gain: float = 1.0) -> dict:
+             color: str = "none", chroma_gain: float = 1.0, hh_gain: float = 1.0) -> dict:
     """One operating point: encode at ``step``, measure rate and distortion
     (``color='ict'`` + ``chroma_gain`` move points toward the perceptual
-    allocation: fewer chroma bits at nearly the same luma PSNR)."""
+    allocation: fewer chroma bits at nearly the same luma PSNR; ``hh_gain``
+    > 1 additionally weights the diagonal band coarser — compare the
+    ms_ssim column at matched bpp to pick a visually-optimal value)."""
     x = np.asarray(image)
-    stream = encode(x, levels=levels, spec=QuantSpec(base_step=step), wavelet=wavelet,
-                    color=color, chroma_gain=chroma_gain)
+    stream = encode(x, levels=levels, spec=QuantSpec(base_step=step, hh_gain=hh_gain),
+                    wavelet=wavelet, color=color, chroma_gain=chroma_gain)
     rec = np.asarray(decode(stream))
     n_px = x.shape[-2] * x.shape[-1] * (x.size // (x.shape[-2] * x.shape[-1]))
     point = {
@@ -40,10 +42,10 @@ def rd_point(image, step: float, levels: int = 5, wavelet: str = "haar", actual_
 
 
 def rd_curve(image, steps=(0.5, 1.0, 2.0, 4.0, 8.0), levels: int = 5, wavelet: str = "haar", actual_bytes: bool = False,
-             color: str = "none", chroma_gain: float = 1.0) -> list[dict]:
+             color: str = "none", chroma_gain: float = 1.0, hh_gain: float = 1.0) -> list[dict]:
     """R-D sweep over quantization steps (coarser step -> fewer bits, lower
     PSNR). Points come back in the given step order."""
-    return [rd_point(image, s, levels, wavelet, actual_bytes, color, chroma_gain) for s in steps]
+    return [rd_point(image, s, levels, wavelet, actual_bytes, color, chroma_gain, hh_gain) for s in steps]
 
 
 # Rate control searches over a geometric step grid (4 steps/octave) instead

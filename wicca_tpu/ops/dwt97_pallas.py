@@ -28,6 +28,7 @@ from wicca_tpu.core.lifting import _A97, _B97, _D97, _G97, _K97
 from wicca_tpu.ops.dwt_pallas import (
     _TILE_H,
     _TILE_W,
+    _band_steps3,
     _interpret,
     _pad_dim_to,
     _quant_band,
@@ -145,7 +146,7 @@ def _dwt97_kernel(x_ref, *out_refs, k: int, steps, from_u8: bool, filt: str):
         base = (lvl - 1) * 3
         for slot, band in ((0, lh), (1, hl), (2, hh)):
             out_refs[base + slot][0] = _quant_band(
-                band, steps[lvl - 1], 32767, out_refs[base + slot].dtype
+                band, steps[lvl - 1][slot], 32767, out_refs[base + slot].dtype
             )
     ll_ref[0] = x
 
@@ -159,6 +160,7 @@ def dwt97_multilevel_quant_pallas(x: jax.Array, steps: tuple, filt: str = "cdf97
     k = len(steps)
     if not 1 <= k <= 3:
         raise ValueError("1..3 levels per pass")
+    steps = _band_steps3(steps)
     lead = x.shape[:-2]
     h, w = x.shape[-2], x.shape[-1]
     unit = 1 << k
@@ -202,13 +204,12 @@ def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool, filt: str):
     for idx in range(k):
         lvl = k - idx
         base = 1 + idx * 3
-        step = jnp.float32(steps[lvl - 1])
 
-        def deq(r):
+        def deq(r, slot):
             qv = r[0].astype(jnp.float32)
-            return (qv + 0.5 * jnp.sign(qv)) * step
+            return (qv + 0.5 * jnp.sign(qv)) * jnp.float32(steps[lvl - 1][slot])
 
-        x = _level97_inv(x, deq(refs[base]), deq(refs[base + 1]), deq(refs[base + 2]), filt)
+        x = _level97_inv(x, deq(refs[base], 0), deq(refs[base + 1], 1), deq(refs[base + 2], 2), filt)
     if emit_u8:
         out_ref[0] = jnp.clip(x, 0, 255).astype(jnp.int32).astype(jnp.uint8)
     else:
@@ -223,6 +224,7 @@ def idwt97_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_
     k = len(steps)
     if not 1 <= k <= 3 or len(details) != k:
         raise ValueError("1..3 levels per pass; details must match steps")
+    steps = _band_steps3(steps)
     if orig_k is None:
         orig_k = k
     if orig_k < k:

@@ -337,6 +337,15 @@ def _detail_dtype(step: float):
     return (jnp.int8, 127) if 127.5 / step < 128.0 else (jnp.int16, 32767)
 
 
+def _band_steps3(steps: tuple) -> tuple:
+    """Normalize per-level step entries to (lh, hl, hh) triples: a scalar
+    entry applies to all three bands; a 3-tuple entry (QuantSpec.band_steps,
+    visual/HH weighting) is used as-is."""
+    return tuple(
+        tuple(s) if isinstance(s, (tuple, list)) else (float(s),) * 3 for s in steps
+    )
+
+
 def _quant_band(band_f32, step: float, qmax: int, dt):
     # deadzone quantize: int cast truncates toward zero, which equals
     # sign(c) * floor(|c| / step) for in-range values — 3 VPU ops instead
@@ -383,7 +392,7 @@ def _dwt_multi_kernel(x_ref, *out_refs, k: int, steps, qmaxes, from_u8: bool):
         for slot, band_t in ((0, lh_t), (1, hl_t), (2, hh_t)):
             stored = band_t if detail_is_transposed(lvl) else band_t.T
             band = stored.astype(jnp.float32) * scale
-            out_refs[base + slot][0] = _quant_band(band, steps[lvl - 1], qmaxes[lvl - 1], out_refs[base + slot].dtype)
+            out_refs[base + slot][0] = _quant_band(band, steps[lvl - 1][slot], qmaxes[lvl - 1], out_refs[base + slot].dtype)
         if from_u8:
             x = ll_t.T  # raw int32 sums (exact)
         else:
@@ -406,6 +415,7 @@ def dwt_multilevel_quant_pallas(x: jax.Array, steps: tuple):
     k = len(steps)
     if not 1 <= k <= 3:
         raise ValueError("1..3 levels per pass")
+    steps = _band_steps3(steps)
     lead = x.shape[:-2]
     h, w = x.shape[-2], x.shape[-1]
     unit = 1 << k
@@ -418,7 +428,8 @@ def dwt_multilevel_quant_pallas(x: jax.Array, steps: tuple):
     x, th, tw = _tiling(x)
     c, hp, wp = x.shape
 
-    dts, qmaxes = zip(*(_detail_dtype(s) for s in steps))
+    # the level's storage dtype must hold ALL three bands -> size by min step
+    dts, qmaxes = zip(*(_detail_dtype(min(s)) for s in steps))
     out_shapes = []
     out_specs = []
     for lvl in range(1, k + 1):
@@ -459,17 +470,16 @@ def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool):
     for idx in range(k):
         lvl = k - idx  # coarse -> fine
         base = 1 + idx * 3
-        step = jnp.float32(steps[lvl - 1])
         transposed = detail_is_transposed(lvl)
 
-        def deq(r, want_t):
+        def deq(r, slot, want_t):
             qv = r[0].astype(jnp.float32)
             if want_t != transposed:
                 qv = qv.T
-            return (qv + 0.5 * jnp.sign(qv)) * step
+            return (qv + 0.5 * jnp.sign(qv)) * jnp.float32(steps[lvl - 1][slot])
 
         # work in transposed space: lane interleaves become row interleaves
-        lh_t, hl_t, hh_t = deq(refs[base], True), deq(refs[base + 1], True), deq(refs[base + 2], True)
+        lh_t, hl_t, hh_t = deq(refs[base], 0, True), deq(refs[base + 1], 1, True), deq(refs[base + 2], 2, True)
         ll_t = ll.T
         rs_e = (ll_t + lh_t) * 2.0
         rs_o = (ll_t - lh_t) * 2.0
@@ -495,6 +505,7 @@ def idwt_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8
     k = len(steps)
     if not 1 <= k <= 3 or len(details) != k:
         raise ValueError("1..3 levels per pass; details must match steps")
+    steps = _band_steps3(steps)
     lead = ll.shape[:-2]
     ch, cw = ll.shape[-2], ll.shape[-1]
     unit = 1 << k

@@ -83,7 +83,7 @@ def _fused_encode_fn(levels: int, spec: QuantSpec, wavelet: str, lh: int, lw: in
         for k in sizes:
             ll = ll[..., : lh >> lvl, : lw >> lvl]
             if wavelet == "haar":
-                steps = tuple(spec.detail_step(lvl + i + 1) for i in range(k))
+                steps = tuple(spec.band_steps(lvl + i + 1) for i in range(k))
                 ll, d = dwt_multilevel_quant_pallas(ll, steps)
             else:
                 ll, d = dwt53_multilevel_pallas(ll, k, filt=wavelet)
@@ -175,9 +175,9 @@ def tiled_encode(
         if integer:
             bands = tuple(b.astype(jnp.int16) for b in (lh_b, hl_b, hh_b))
         else:
-            step = spec.detail_step(lvl)
-            dt, _ = _detail_dtype(step) if wavelet == "haar" else (jnp.int16, None)
-            bands = tuple(quantize_deadzone(b, step, dt) for b in (lh_b, hl_b, hh_b))
+            bsteps = spec.band_steps(lvl)
+            dt, _ = _detail_dtype(min(bsteps)) if wavelet == "haar" else (jnp.int16, None)
+            bands = tuple(quantize_deadzone(b, s_b, dt) for b, s_b in zip((lh_b, hl_b, hh_b), bsteps))
         details.append(bands)
     # the halo-exchanged transform IS the whole-image (global) transform
     return CodeStream(
@@ -260,7 +260,7 @@ def tiled_decode(stream: CodeStream, *, mesh: Mesh, emit_u8: bool = False):
                 ch, cw = use[-1][0].shape[-2], use[-1][0].shape[-1]
                 x = x[..., :ch, :cw]
                 if wavelet == "haar":
-                    steps = tuple(spec.detail_step(i + 1) for i in range(lo, hi))
+                    steps = tuple(spec.band_steps(i + 1) for i in range(lo, hi))
                     x = idwt_multilevel_dequant_pallas(x, use, steps, emit_u8=u8_in and lo == 0)
                 else:
                     x = idwt53_multilevel_pallas(x, use, k, emit_u8=u8_in and lo == 0, filt=wavelet)
@@ -284,8 +284,10 @@ def tiled_decode(stream: CodeStream, *, mesh: Mesh, emit_u8: bool = False):
         if integer:
             details.append(tuple(b.astype(jnp.int32) for b in bands))
         else:
-            step = stream.spec.detail_step(lvl)
-            details.append(tuple(dequantize_deadzone(b, step) for b in bands))
+            details.append(tuple(
+                dequantize_deadzone(b, s_b)
+                for b, s_b in zip(bands, stream.spec.band_steps(lvl))
+            ))
     pyr = Pyramid(
         ll=stream.ll.astype(jnp.int32 if integer else jnp.float32),
         details=tuple(details),
