@@ -79,6 +79,15 @@ def main(out_dir: str = "/tmp/wicca_advanced") -> None:
     print("uint16 lossless bit-exact:", np.array_equal(r16, x16),
           "| container:", serialize(s16)[:4])
 
+    # --- visual frequency weighting (hh_gain, WCT7) -------------------------
+    flat = encode(img, levels=4, spec=QuantSpec(base_step=1.0))
+    weighted = encode(img, levels=4, spec=QuantSpec(base_step=1.0, hh_gain=2.0))
+    bf, bw = len(serialize(flat)), len(serialize(weighted))
+    mf = float(ms_ssim(np.asarray(decode(flat)), img.astype(np.float32)))
+    mw = float(ms_ssim(np.asarray(decode(weighted)), img.astype(np.float32)))
+    print(f"hh_gain=2: {bf:,} -> {bw:,} B ({100 * (1 - bw / bf):.1f}% fewer bits), "
+          f"MS-SSIM {mf:.4f} -> {mw:.4f} | container {serialize(weighted)[:4]}")
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:2])
