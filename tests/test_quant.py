@@ -71,3 +71,22 @@ def test_ssim_properties():
     very_noisy = a + rng.normal(0, 60, a.shape).astype(np.float32)
     s1, s2 = float(ssim(a, noisy)), float(ssim(a, very_noisy))
     assert 0.0 < s2 < s1 < 1.0
+
+
+class TestReconOffset:
+    """Adaptive deadzone reconstruction (decoder-side Laplacian centroid)."""
+
+    def test_scalability_paths_accept_offset(self):
+        import numpy as np
+
+        from wicca_tpu.codec.pipeline import decode, decode_at_level, decode_region, encode
+        from wicca_tpu.core.quant import QuantSpec
+
+        img = np.random.default_rng(1).integers(0, 256, (1, 128, 192), np.uint8)
+        for wavelet in ("haar", "bior4.4"):
+            s = encode(img, levels=4, spec=QuantSpec(base_step=4.0), wavelet=wavelet)
+            full = np.asarray(decode(s, recon_offset=0.4))
+            roi = np.asarray(decode_region(s, 16, 80, 32, 160, recon_offset=0.4))
+            np.testing.assert_array_equal(roi, full[..., 16:80, 32:160], err_msg=wavelet)
+            half = np.asarray(decode_at_level(s, 1, recon_offset=0.4))
+            assert half.shape == (1, 64, 96)

@@ -287,11 +287,16 @@ def _normalize_roi(stream: CodeStream) -> CodeStream:
     return dataclasses.replace(stream, details=details, roi_shift=0, bg_shift=0)
 
 
-@partial(jax.jit, static_argnames=("emit_u8",))
-def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
+@partial(jax.jit, static_argnames=("emit_u8", "recon_offset"))
+def decode(stream: CodeStream, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
     """CodeStream -> reconstructed image (original dims), float32 by default;
     ``emit_u8`` clips+casts inside the final fused pass (4x less output
     traffic — use when reconstructing for display/classification).
+
+    ``recon_offset`` sets the deadzone reconstruction point as a fraction
+    of the bin (0.5 = midpoint, the measured optimum on photo-like content
+    — see :func:`wicca_tpu.core.quant.dequantize_deadzone` for the
+    measurement; the knob is decoder-side only, no bitstream change).
 
     The encoder may tile-pad each level's input (see dwt_level_quant_pallas);
     stored subband shapes record it, so each reconstruction is cropped to the
@@ -350,7 +355,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
             ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
             x = x[..., :ch, :cw]
-            x = idwt97_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0, filt=filt)
+            x = idwt97_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0, filt=filt, recon_offset=recon_offset)
             hi = lo
         return _finish_decode(stream, x, emit_u8)
     if stream.wavelet == "haar":
@@ -369,7 +374,7 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
 
             ch, cw = detail_spatial_shape(dets[-1][0], k)
             x = x[..., :ch, :cw]
-            x = idwt_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0)
+            x = idwt_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0, recon_offset=recon_offset)
             hi = lo
     else:
         from wicca_tpu.core.lifting import idwt2_level_lifting
@@ -381,9 +386,9 @@ def decode(stream: CodeStream, emit_u8: bool = False) -> jax.Array:
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(
                 x,
-                dequantize_deadzone(lh, s_lh),
-                dequantize_deadzone(hl, s_hl),
-                dequantize_deadzone(hh, s_hh),
+                dequantize_deadzone(lh, s_lh, offset=recon_offset),
+                dequantize_deadzone(hl, s_hl, offset=recon_offset),
+                dequantize_deadzone(hh, s_hh, offset=recon_offset),
                 stream.wavelet,
             )
     return _finish_decode(stream, x, emit_u8)
@@ -515,7 +520,7 @@ def region_coefficient_fraction(stream: CodeStream, row0, row1, col0, col1) -> f
     return touched / max(total, 1)
 
 
-def _decode_region_tiled_wide(stream: CodeStream, row0, row1, col0, col1, emit_u8: bool) -> jax.Array:
+def _decode_region_tiled_wide(stream: CodeStream, row0, row1, col0, col1, emit_u8: bool, recon_offset: float = 0.5) -> jax.Array:
     """Hierarchical region decode for tiled wide wavelets: run the inverse
     pass cascade coarse -> fine, each pass on only its tile-aligned window
     (JPEG2000 tile-independence semantics). Bit-identical to the same crop
@@ -543,7 +548,7 @@ def _decode_region_tiled_wide(stream: CodeStream, row0, row1, col0, col1, emit_u
             from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
 
             steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
-            x = idwt97_multilevel_dequant_pallas(ll, dets, steps, filt=filt)
+            x = idwt97_multilevel_dequant_pallas(ll, dets, steps, filt=filt, recon_offset=recon_offset)
         pa0, pb0 = a0, b0
     x = _undo_color(stream, x)
     if emit_u8:
@@ -558,6 +563,7 @@ def decode_region(
     col0: int,
     col1: int,
     emit_u8: bool = False,
+    recon_offset: float = 0.5,
 ) -> jax.Array:
     """Spatial random access: reconstruct only pixels ``[row0:row1, col0:col1)``
     — EXACTLY equal to the same crop of :func:`decode` — touching only the
@@ -596,7 +602,7 @@ def decode_region(
     if stream.wavelet in ("haar", "haar_int"):
         pass  # block transform: alignment alone is exact
     elif stream.layout == "tiled":
-        return _decode_region_tiled_wide(stream, row0, row1, col0, col1, emit_u8)
+        return _decode_region_tiled_wide(stream, row0, row1, col0, col1, emit_u8, recon_offset)
     else:
         # Inverse-lifting influence radius is <= ~6 polyphase samples per
         # level (cdf97: 4 chained +-1 steps), and level-l samples span 2**l
@@ -615,12 +621,12 @@ def decode_region(
         stream, ll=ll, details=details,
         orig_shape=(min(r1, H) - r0, min(c1, W) - c0),
     )
-    out = decode(sub, emit_u8=emit_u8)
+    out = decode(sub, emit_u8=emit_u8, recon_offset=recon_offset)
     return out[..., row0 - r0 : row1 - r0, col0 - c0 : col1 - c0]
 
 
-@partial(jax.jit, static_argnames=("target_level", "emit_u8"))
-def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False) -> jax.Array:
+@partial(jax.jit, static_argnames=("target_level", "emit_u8", "recon_offset"))
+def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
     """Progressive decode: reconstruct at 1/2**target_level resolution using
     only the coarse subbands (resolution scalability — the stream is decoded
     from the tail, finer detail planes are never touched).
@@ -632,7 +638,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
     if not 0 <= target_level <= stream.levels:
         raise ValueError(f"target_level must be in [0, {stream.levels}]")
     if target_level == 0:
-        return decode(stream, emit_u8=emit_u8)
+        return decode(stream, emit_u8=emit_u8, recon_offset=recon_offset)
     stream = _normalize_roi(stream)
     h, w = stream.orig_shape
     out_h = -(-h // (1 << target_level))
@@ -697,7 +703,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             steps = tuple(stream.spec.band_steps(i + 1) for i in range(max(lo, target_level), hi))
             ch, cw = use[-1][0].shape[-2], use[-1][0].shape[-1]
             x = x[..., :ch, :cw]
-            x = idwt97_multilevel_dequant_pallas(x, use, steps, orig_k=k, filt=filt)
+            x = idwt97_multilevel_dequant_pallas(x, use, steps, orig_k=k, filt=filt, recon_offset=recon_offset)
             hi = max(lo, target_level)
         x = _undo_color(stream, x)
         x = unpad(x, out_h, out_w)
@@ -715,9 +721,9 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(
                 x,
-                dequantize_deadzone(lh, s_lh),
-                dequantize_deadzone(hl, s_hl),
-                dequantize_deadzone(hh, s_hh),
+                dequantize_deadzone(lh, s_lh, offset=recon_offset),
+                dequantize_deadzone(hl, s_hl, offset=recon_offset),
+                dequantize_deadzone(hh, s_hh, offset=recon_offset),
                 stream.wavelet,
             )
         x = _undo_color(stream, x)
@@ -748,7 +754,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
         steps = tuple(stream.spec.band_steps(i + 1) for i in range(max(lo, target_level), hi))
         ch, cw = detail_spatial_shape(use[-1][0], len(use))
         x = x[..., :ch, :cw]
-        x = idwt_multilevel_dequant_pallas(x, use, steps)
+        x = idwt_multilevel_dequant_pallas(x, use, steps, recon_offset=recon_offset)
         hi = max(lo, target_level)
     x = _undo_color(stream, x)
     x = unpad(x, out_h, out_w)

@@ -32,10 +32,19 @@ def quantize_deadzone(c: jnp.ndarray, step: float, dtype=jnp.int32) -> jnp.ndarr
     return (jnp.sign(c) * jnp.floor(jnp.abs(c) / step)).astype(dtype)
 
 
-def dequantize_deadzone(q: jnp.ndarray, step: float, dtype=jnp.float32) -> jnp.ndarray:
-    """Midpoint reconstruction: c' = sign(q) * (|q| + 0.5) * step, 0 -> 0."""
+def dequantize_deadzone(q: jnp.ndarray, step: float, dtype=jnp.float32, offset: float = 0.5) -> jnp.ndarray:
+    """Bin-offset reconstruction: c' = sign(q) * (|q| + offset) * step, 0 -> 0.
+
+    ``offset=0.5`` is the midpoint and ships as the default: the
+    Laplacian-centroid offset (1/t - 1/(e^t - 1), t from the zero-code
+    fraction) was implemented and MEASURED WORSE on 1/f photo-like content
+    (41.29 dB @ 0.5 vs 40.52 @ 0.30 at step 4; optimum 0.44-0.50 across
+    steps 4-16, <= 0.03 dB from midpoint) — real detail bands are
+    heavier-tailed than Laplacian, so the in-bin density is nearly flat.
+    The knob stays (decoder-side, no bitstream change) for content where
+    tuning pays; see docs/PERFORMANCE.md."""
     qf = q.astype(dtype)
-    return jnp.sign(qf) * (jnp.abs(qf) + 0.5) * step
+    return jnp.sign(qf) * (jnp.abs(qf) + offset) * step
 
 
 def quantize_midtread(c: jnp.ndarray, step: float, dtype=jnp.int32) -> jnp.ndarray:

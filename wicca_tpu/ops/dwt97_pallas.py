@@ -198,7 +198,7 @@ def dwt97_multilevel_quant_pallas(x: jax.Array, steps: tuple, filt: str = "cdf97
     return ll, details
 
 
-def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool, filt: str):
+def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool, filt: str, recon_offset: float = 0.5):
     out_ref = refs[-1]
     x = refs[0][0].astype(jnp.float32)
     for idx in range(k):
@@ -207,7 +207,7 @@ def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool, filt: str):
 
         def deq(r, slot):
             qv = r[0].astype(jnp.float32)
-            return (qv + 0.5 * jnp.sign(qv)) * jnp.float32(steps[lvl - 1][slot])
+            return (qv + jnp.float32(recon_offset) * jnp.sign(qv)) * jnp.float32(steps[lvl - 1][slot])
 
         x = _level97_inv(x, deq(refs[base], 0), deq(refs[base + 1], 1), deq(refs[base + 2], 2), filt)
     if emit_u8:
@@ -216,8 +216,8 @@ def _idwt97_kernel(*refs, k: int, steps, emit_u8: bool, filt: str):
         out_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "emit_u8", "orig_k", "filt"))
-def idwt97_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8: bool = False, orig_k: int | None = None, filt: str = "cdf97"):
+@functools.partial(jax.jit, static_argnames=("steps", "emit_u8", "orig_k", "filt", "recon_offset"))
+def idwt97_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8: bool = False, orig_k: int | None = None, filt: str = "cdf97", recon_offset: float = 0.5):
     """Fused dequantize + inverse of :func:`dwt97_multilevel_quant_pallas`
     (one HBM pass). ``orig_k`` aligns a PARTIAL pass's tile clamps with the
     encoder grid (see the 5/3 kernel docs)."""
@@ -261,7 +261,7 @@ def idwt97_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_
             )
     out_dt = jnp.uint8 if emit_u8 else jnp.float32
     out = pl.pallas_call(
-        functools.partial(_idwt97_kernel, k=k, steps=steps, emit_u8=emit_u8, filt=filt),
+        functools.partial(_idwt97_kernel, k=k, steps=steps, emit_u8=emit_u8, filt=filt, recon_offset=recon_offset),
         out_shape=jax.ShapeDtypeStruct((c, chp * unit, cwp * unit), out_dt),
         grid=(c, chp // th_c, cwp // tw_c),
         in_specs=in_specs,

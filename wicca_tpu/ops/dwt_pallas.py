@@ -461,7 +461,7 @@ def dwt_multilevel_quant_pallas(x: jax.Array, steps: tuple):
     return ll, details
 
 
-def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool):
+def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool, recon_offset: float = 0.5):
     """Inputs: [ll, lhk, hlk, hhk, ..., lh1, hl1, hh1], output last.
     Levels <= _T_LVLS arrive transposed; the level runs in transposed space
     (3 transposes/level instead of 6)."""
@@ -476,7 +476,7 @@ def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool):
             qv = r[0].astype(jnp.float32)
             if want_t != transposed:
                 qv = qv.T
-            return (qv + 0.5 * jnp.sign(qv)) * jnp.float32(steps[lvl - 1][slot])
+            return (qv + jnp.float32(recon_offset) * jnp.sign(qv)) * jnp.float32(steps[lvl - 1][slot])
 
         # work in transposed space: lane interleaves become row interleaves
         lh_t, hl_t, hh_t = deq(refs[base], 0, True), deq(refs[base + 1], 1, True), deq(refs[base + 2], 2, True)
@@ -494,8 +494,8 @@ def _idwt_multi_kernel(*refs, k: int, steps, emit_u8: bool):
         out_ref[0] = ll
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "emit_u8"))
-def idwt_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8: bool = False):
+@functools.partial(jax.jit, static_argnames=("steps", "emit_u8", "recon_offset"))
+def idwt_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8: bool = False, recon_offset: float = 0.5):
     """Fused inverse of :func:`dwt_multilevel_quant_pallas` in ONE HBM pass.
 
     ``details``: [(lh, hl, hh), ...] fine-to-coarse, len = len(steps) <= 3.
@@ -547,7 +547,7 @@ def idwt_multilevel_dequant_pallas(ll: jax.Array, details, steps: tuple, emit_u8
                 )
     out_dt = jnp.uint8 if emit_u8 else jnp.float32
     out = pl.pallas_call(
-        functools.partial(_idwt_multi_kernel, k=k, steps=steps, emit_u8=emit_u8),
+        functools.partial(_idwt_multi_kernel, k=k, steps=steps, emit_u8=emit_u8, recon_offset=recon_offset),
         out_shape=jax.ShapeDtypeStruct((c, chp * unit, cwp * unit), out_dt),
         grid=(c, chp // th_c, cwp // tw_c),
         in_specs=in_specs,
