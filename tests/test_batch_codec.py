@@ -73,6 +73,27 @@ def test_batch_decode_at_level_previews(dataset):
     np.testing.assert_array_equal(back, want)
 
 
+def test_batch_resume_skips_existing(dataset):
+    """resume=True skips sources/streams whose output already exists —
+    restartable long folder runs (harness resume semantics)."""
+    root, src, _ = dataset
+    enc_dir = root / "wct_resume"
+    m1 = encode_folder(src, enc_dir, levels=2, threads=2)
+    assert m1["images"] == 4 and m1["resumed"] == 0
+    # drop one output; resume re-encodes only that one
+    (enc_dir / "im2.wct").unlink()
+    m2 = encode_folder(src, enc_dir, levels=2, threads=2, resume=True)
+    assert m2["images"] == 1 and m2["resumed"] == 3
+    assert (enc_dir / "im2.wct").is_file()
+
+    dec_dir = root / "rec_resume"
+    d1 = decode_folder(enc_dir, dec_dir, threads=2)
+    assert d1["images"] == 4
+    (dec_dir / "im1.png").unlink()
+    d2 = decode_folder(enc_dir, dec_dir, threads=2, resume=True)
+    assert d2["images"] == 1 and d2["resumed"] == 3
+
+
 def test_batch_rgba_keep_alpha_roundtrip(tmp_path):
     """encode_folder(keep_alpha=True) codes RGBA sources as 4-component
     streams and decode_folder restores the RGBA PNG losslessly (ADVICE r2:

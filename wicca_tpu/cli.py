@@ -125,7 +125,7 @@ def _cmd_encode_batch(args) -> int:
         spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain), wavelet=args.wavelet,
         color=args.color, chroma_gain=args.chroma_gain, bit_depth=args.bit_depth,
         codec=args.codec, quality_layers=args.quality_layers, threads=args.threads,
-        keep_alpha=args.keep_alpha,
+        keep_alpha=args.keep_alpha, resume=args.resume,
     )
     print(json.dumps(metrics))
     return 0
@@ -138,7 +138,7 @@ def _cmd_decode_batch(args) -> int:
 
     metrics = decode_folder(
         args.input_dir, args.output_dir, threads=args.threads, on_error=args.on_error,
-        at_level=args.at_level,
+        at_level=args.at_level, resume=args.resume,
     )
     print(json.dumps(metrics))
     return 0
@@ -307,6 +307,8 @@ def build_parser() -> argparse.ArgumentParser:
     eb.add_argument("--bit-depth", type=int, default=None)
     eb.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"])
     eb.add_argument("--quality-layers", type=int, default=1)
+    eb.add_argument("--resume", action="store_true",
+                    help="skip sources whose .wct already exists (restartable runs)")
     eb.add_argument("--keep-alpha", action="store_true",
                     help="keep the alpha plane of RGBA sources (coded as a 4th component)")
     eb.add_argument("--threads", type=int, default=8)
@@ -319,6 +321,8 @@ def build_parser() -> argparse.ArgumentParser:
     db.add_argument("--on-error", default="raise", choices=["raise", "zero"])
     db.add_argument("--at-level", type=int, default=0, metavar="R",
                     help="bulk previews: decode every stream at 1/2**R resolution")
+    db.add_argument("--resume", action="store_true",
+                    help="skip streams whose output image already exists")
     db.set_defaults(fn=_cmd_decode_batch)
 
     d = sub.add_parser("decode", help="decode a .wct codestream to an image")

@@ -44,6 +44,7 @@ def encode_folder(
     threads: int = 8,
     prefetch: int | None = None,
     keep_alpha: bool = False,
+    resume: bool = False,
 ) -> dict:
     """Encode every image in ``in_dir`` to ``<out_dir>/<stem>.wct``.
 
@@ -51,12 +52,19 @@ def encode_folder(
     serialize+write futures trail behind. Same-shape images reuse one
     compiled encode (jit shape cache). ``keep_alpha`` codes RGBA sources as
     4-component streams (mirrors the single-image encode path; RGB sources
-    are unaffected). Returns throughput metrics."""
+    are unaffected). ``resume`` skips sources whose ``.wct`` already exists
+    (same semantics as the harness's resume: restartable long folder runs).
+    Returns throughput metrics."""
     in_dir, out_dir = Path(in_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     paths = list_images(in_dir)
     if not paths:
         raise ValueError(f"no images in {in_dir}")
+    n_resumed = 0
+    if resume:
+        kept = [p for p in paths if not (out_dir / (p.stem + ".wct")).is_file()]
+        n_resumed = len(paths) - len(kept)
+        paths = kept
     lookahead = prefetch if prefetch is not None else max(2, threads // 2)
     if (bit_depth or 8) > 8 or keep_alpha:
         loader = functools.partial(load_image_raw, keep_alpha=keep_alpha)
@@ -101,6 +109,7 @@ def encode_folder(
     return {
         "images": n_ok,
         "skipped": len(paths) - n_ok,
+        "resumed": n_resumed,
         "megapixels": round(mp_total, 4),
         "seconds": round(seconds, 3),
         "mp_per_s": round(mp_total / max(seconds, 1e-9), 2),
@@ -118,13 +127,15 @@ def decode_folder(
     suffix: str = ".png",
     prefetch: int | None = None,
     at_level: int = 0,
+    resume: bool = False,
 ) -> dict:
     """Decode every ``.wct`` in ``in_dir`` to ``<out_dir>/<stem><suffix>``
     (native dtype: uint8, or uint16 for hi-depth streams).
 
     ``at_level=r`` reconstructs at 1/2**r resolution from the coarse
     subbands only (resolution scalability) — the fast path for bulk
-    thumbnail/preview extraction from an archive of streams."""
+    thumbnail/preview extraction from an archive of streams. ``resume``
+    skips streams whose output image already exists."""
     import cv2
 
     in_dir, out_dir = Path(in_dir), Path(out_dir)
@@ -132,6 +143,11 @@ def decode_folder(
     paths = sorted(in_dir.glob("*.wct"))
     if not paths:
         raise ValueError(f"no .wct files in {in_dir}")
+    n_resumed = 0
+    if resume:
+        kept = [p for p in paths if not (out_dir / (p.stem + suffix)).is_file()]
+        n_resumed = len(paths) - len(kept)
+        paths = kept
     lookahead = prefetch if prefetch is not None else max(2, threads // 2)
 
     def _write(rec: np.ndarray, dst: Path) -> int:
@@ -176,6 +192,7 @@ def decode_folder(
     seconds = time.perf_counter() - t0
     return {
         "images": n,
+        "resumed": n_resumed,
         "megapixels": round(mp_total, 4),
         "seconds": round(seconds, 3),
         "mp_per_s": round(mp_total / max(seconds, 1e-9), 2),
