@@ -173,5 +173,5 @@ def extract_from_comparison(comparison_data: pd.DataFrame, metric: str) -> tuple
     """(classifier names, metric values) from a comparison table (reference
     result_manager.py:223-250)."""
     if metric not in comparison_data.columns:
-        raise ValueError(f"Metric '{metric}' not found in comparison data.")
+        raise ValueError(f"no column {metric!r} in the comparison table")
     return comparison_data["Classifier"].tolist(), comparison_data[metric].tolist()

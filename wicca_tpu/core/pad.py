@@ -56,7 +56,7 @@ def pad_amounts(h: int, w: int, ratio: int) -> tuple[int, int]:
     Matches reference data_loader.py:107-110 (divmod arithmetic).
     """
     if ratio <= 0:
-        raise ValueError("Ratio must be positive")
+        raise ValueError(f"pad ratio has to be >= 1, got {ratio}")
     return (-h) % ratio, (-w) % ratio
 
 

@@ -29,7 +29,7 @@ def load_image(file_path: str | Path) -> np.ndarray | None:
     """Decode an image to RGB (HWC uint8); None on failure (reference
     data_loader.py:31-63 contract: empty path raises, bad file -> None)."""
     if not str(file_path):
-        raise ValueError("File path cannot be empty")
+        raise ValueError("refusing to load from an empty path")
     try:
         import cv2
 
@@ -59,7 +59,7 @@ def load_image_raw(file_path: str | Path, keep_alpha: bool = False) -> np.ndarra
     ``keep_alpha`` returns RGBA for 4-channel sources instead of dropping the
     alpha plane. None on failure."""
     if not str(file_path):
-        raise ValueError("File path cannot be empty")
+        raise ValueError("refusing to load from an empty path")
     try:
         import cv2
 

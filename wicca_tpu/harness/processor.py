@@ -131,7 +131,7 @@ class ClassifierProcessor:
         self.coder = wavelet_coder  # optional custom coder: get_small_copy(img, depth)
         self.depth: Any = normalize_depth(transform_depth)
         if not (isinstance(top_classes, int) and top_classes > 0):
-            msg = "Top classes must be a positive integer."
+            msg = f"top_classes wants an int >= 1, got {top_classes!r}"
             logging.error(msg)
             raise ValueError(msg)
         self.top = top_classes
@@ -175,7 +175,7 @@ class ClassifierProcessor:
         from wicca_tpu.utils.env import is_jupyter
 
         files = list_images(self.path)
-        lines = [f"Data folder: {self.path}", f"Number of images: {len(files)}"]
+        lines = [f"Dataset folder: {self.path}", f"Images found: {len(files)}"]
         sample = files[:MAX_INFO_SAMPLE_SIZE]
         dims = []
         for f in sample:
@@ -193,7 +193,7 @@ class ClassifierProcessor:
             lines.append(f"Mean image dimensions (n={len(dims)}): {mw:.0f}x{mh:.0f}")
             lines.append(f"Mean image resolution: {mh * mw / 1e6:.1f} MP")
         lines.append(f"Transform depths: {self.depth}")
-        lines.append(f"Results folder: {self.results_folder}")
+        lines.append(f"Writing results to: {self.results_folder}")
         if is_jupyter():
             try:
                 from IPython.display import Markdown, display  # type: ignore
@@ -404,20 +404,22 @@ class ClassifierProcessor:
 
     def _single_classifier(self, name: str, classifier_dict: dict[str, Any], timeout: int | None = None):
         if not name:
-            raise ValueError("Name must be provided for single classifier")
+            raise ValueError("single-classifier runs need a non-empty name")
         if not isinstance(classifier_dict, dict) or MODEL not in classifier_dict:
-            raise ValueError(f"Classifier must be a dictionary containing a '{MODEL}' key")
+            raise ValueError(f"the classifier spec for {name!r} has to be a dict with a {MODEL!r} entry")
         return self.process_classifiers({name: classifier_dict}, timeout)
 
     def process_single_classifier(self, *args, **kwargs):
-        """Helpful-error wrapper (reference classifying_tools.py:479-498)."""
+        """Helpful-error wrapper (behavioral contract of reference
+        classifying_tools.py:479-498: a missing-argument TypeError is turned
+        into a logged usage hint and a None return)."""
         try:
             return self._single_classifier(*args, **kwargs)
         except TypeError as e:
-            if "missing 1 required positional argument" in str(e):
-                logging.error(
-                    "You need to provide both the name and the classifier dictionary.\n"
-                    "Correct usage: process_single_classifier(name, classifiers[name])"
-                )
-                return None
-            raise
+            if "missing 1 required positional argument" not in str(e):
+                raise
+            logging.error(
+                "process_single_classifier takes the classifier name AND its spec dict, "
+                "e.g. proc.process_single_classifier('ResNet50', zoo['ResNet50'])"
+            )
+            return None

@@ -155,7 +155,7 @@ def load_models(models: ModelsDict) -> dict[str, Any]:
     from tqdm.auto import tqdm
 
     classifiers: dict[str, Any] = {}
-    for name, info in tqdm(models.items(), desc="Loading classifiers"):
+    for name, info in tqdm(models.items(), desc="loading model zoo"):
         if isinstance(info, tuple):
             model_class, kwargs = info
         else:

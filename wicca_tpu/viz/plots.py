@@ -71,7 +71,7 @@ def visualize_comparison(comparison_df, metric: str = SIM_CLASSES_PERC, figsize=
     import seaborn as sns
 
     if metric not in comparison_df.columns:
-        raise ValueError(f"Metric '{metric}' not found in comparison data.")
+        raise ValueError(f"no column {metric!r} in the comparison table")
     pivot = comparison_df.pivot(index="Classifier", columns="Depth", values=metric)
     fig, ax = plt.subplots(figsize=figsize)
     sns.heatmap(pivot, annot=True, fmt=".2f", cmap="viridis", ax=ax)
@@ -110,7 +110,7 @@ def plot_compare_metrics(comparison_df, x_metric: str, y_metric: str, title: str
     visualization.py:256-280; plotly with matplotlib fallback)."""
     for m in (x_metric, y_metric):
         if m not in comparison_df.columns:
-            raise ValueError(f"Metric '{m}' not found in comparison data.")
+            raise ValueError(f"no column {m!r} in the comparison table")
     labels = [f"{c} d{d}" for c, d in zip(comparison_df["Classifier"], comparison_df["Depth"])]
     try:
         import plotly.express as px
