@@ -96,14 +96,19 @@ def _bench_end_to_end(h: int, w: int, n_images: int, depth: int, spec) -> dict:
         rgb = np.stack([img, np.roll(img, 5, 0), np.roll(img, 9, 1)], -1)
         cv2.imwrite(str(p), cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR), [cv2.IMWRITE_JPEG_QUALITY, 90])
 
-    from wicca_tpu.codec.batch import encode_folder
+    from wicca_tpu.codec.batch import decode_folder, encode_folder
 
-    with tempfile.TemporaryDirectory() as out:
-        # warm the jit cache so the e2e number measures the pipeline, not
+    with tempfile.TemporaryDirectory() as out, tempfile.TemporaryDirectory() as rec:
+        # warm the jit cache so the e2e numbers measure the pipeline, not
         # the one-time remote compile
         encode_folder(cache, out, levels=depth, spec=spec, threads=8)
+        decode_folder(out, rec, threads=8)
     with tempfile.TemporaryDirectory() as out:
         m = encode_folder(cache, out, levels=depth, spec=spec, threads=8)
+        # decode side of the same pipeline: .wct read + entropy decode +
+        # H2D + device IDWT + D2H + PNG write
+        with tempfile.TemporaryDirectory() as rec:
+            m["decode_mp_per_s"] = decode_folder(out, rec, threads=8)["mp_per_s"]
     return m
 
 
@@ -152,6 +157,7 @@ def main() -> None:
                 "e2e_vs_baseline": round(e2e["mp_per_s"] / baseline, 2),
                 "e2e_images": e2e["images"],
                 "e2e_ratio": e2e["ratio"],
+                "e2e_decode_value": e2e["decode_mp_per_s"],
             }
         )
     )

@@ -29,6 +29,49 @@ def test_encode_decode_icon(workdir, capsys):
     assert (workdir / "icon.png").is_file()
 
 
+def test_transcode_cli(workdir, capsys):
+    src = str(workdir / "imgs" / "im2.png")
+    wct = str(workdir / "im2_layered.wct")
+    assert main(["encode", src, wct, "--levels", "3", "--quality-layers", "3"]) == 0
+    out1 = str(workdir / "im2_l1.wct")
+    assert main(["transcode", wct, out1, "--max-layers", "1", "--drop-levels", "1",
+                 "--codec", "rice"]) == 0
+    assert "->" in capsys.readouterr().out
+    from wicca_tpu.codec.container import inspect
+
+    info = inspect(out1)
+    assert info["levels"] == 2
+    assert info["quality_layers"] == 1
+    assert info["orig_shape"] == (48, 64)
+    assert all(p["codec"] == "rice" for p in info["planes"])
+    # decodes as a valid half-resolution stream
+    assert main(["decode", out1, str(workdir / "im2_half.png")]) == 0
+    import cv2
+
+    half = cv2.imread(str(workdir / "im2_half.png"))
+    assert half.shape[:2] == (48, 64)
+    # invalid request exits 2 with a message, not a traceback
+    assert main(["transcode", wct, out1, "--drop-levels", "9"]) == 2
+
+
+def test_icon_from_wct_stream(workdir, capsys):
+    cv2 = pytest.importorskip("cv2")
+    src = str(workdir / "imgs" / "im1.png")
+    wct = str(workdir / "im1_icon_src.wct")
+    assert main(["encode", src, wct, "--levels", "3"]) == 0
+    assert main(["icon", wct, str(workdir / "icon_ll.png")]) == 0
+    out = capsys.readouterr().out
+    assert "stream LL" in out
+    ll = cv2.imread(str(workdir / "icon_ll.png"))
+    assert ll is not None and ll.shape[:2] == (96 // 8, 128 // 8)
+    # the stream's LL is the transform's coarse band — same geometry as the
+    # direct icon path, content equal for haar at step<=1 up to quantization
+    assert main(["icon", src, str(workdir / "icon_img.png"), "--depth", "3"]) == 0
+    direct = cv2.imread(str(workdir / "icon_img.png"))
+    assert direct.shape == ll.shape
+    assert np.abs(ll.astype(int) - direct.astype(int)).max() <= 2
+
+
 def test_analyze_and_compare(workdir, capsys):
     res = str(workdir / "res")
     rc = main(["analyze", str(workdir / "imgs"), "--models", "SimpleCNN", "--depths", "1",

@@ -191,6 +191,23 @@ def _cmd_icon(args) -> int:
     from wicca_tpu.data.loader import load_image
     from wicca_tpu.harness.processor import _compute_icon
 
+    if args.input.endswith(".wct"):
+        # icon straight from the stream's coarse band — no full decode, no
+        # transform; --depth/--wavelet are the stream's own
+        import numpy as np
+
+        from wicca_tpu.codec import icon_from_stream, load
+        from wicca_tpu.data.loader import from_planar
+
+        stream = load(args.input)
+        icon = from_planar(np.asarray(icon_from_stream(stream)))
+        if icon.ndim == 3:
+            code = cv2.COLOR_RGBA2BGRA if icon.shape[2] == 4 else cv2.COLOR_RGB2BGR
+            icon = cv2.cvtColor(icon, code)
+        cv2.imwrite(args.output, icon)
+        print(f"{args.input} {stream.orig_shape} -> {args.output} {icon.shape[:2]}"
+              f" (stream LL, {stream.wavelet} depth {stream.levels})")
+        return 0
     image = load_image(args.input)
     if image is None:
         print(f"error: cannot read image {args.input}", file=sys.stderr)
@@ -220,6 +237,75 @@ def _cmd_compare(args) -> int:
         df.to_csv(out, index=False)
         print(f"wrote {out} ({len(df)} rows)")
     return 0
+
+
+def _cmd_transcode(args) -> int:
+    """Reshape a .wct stream on the host (no DWT, no device): drop quality
+    layers / finest levels, swap the entropy codec, re-layer."""
+    from wicca_tpu.codec.transcode import transcode
+
+    try:
+        m = transcode(
+            args.input, args.output,
+            max_layers=args.max_layers, drop_levels=args.drop_levels,
+            codec=args.codec, quality_layers=args.layers,
+            threads=args.threads, allow_truncated=args.allow_truncated,
+            on_error=args.on_error,
+        )
+    except (OSError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    oh, ow = m["orig_shape"]
+    print(f"{args.input} -> {args.output}: {m['bytes_in']:,} -> {m['bytes_out']:,} bytes"
+          f" ({m['ratio']}x), {ow}x{oh} levels={m['levels']}")
+    return 0
+
+
+def _cmd_info(args) -> int:
+    """Structural dump + CRC audit of .wct streams (no entropy decode, no
+    device). Exit status 1 when any file fails verification — usable as a
+    batch integrity check in scripts."""
+    import json
+
+    from wicca_tpu.codec.container import inspect
+
+    bad = 0
+    for path in args.inputs:
+        try:
+            info = inspect(path, verify=not args.no_verify)
+        except (OSError, ValueError) as e:
+            print(f"{path}: error: {e}", file=sys.stderr)
+            bad += 1
+            continue
+        if args.json:
+            print(json.dumps({"file": path, **info}))
+            if info["integrity"] == "corrupt":
+                bad += 1
+            continue
+        oh, ow = info["orig_shape"]
+        print(f"{path}: WCT{info['version']}  {ow}x{oh}x{info['channels']}"
+              f" @{info['bit_depth']}bpp  wavelet={info['wavelet']}"
+              f" levels={info['levels']} layout={info['layout']} color={info['color']}")
+        layers = (f"  layers={info['complete_layers']}/{info['quality_layers']}"
+                  if info["quality_layers"] > 1 else "")
+        roi = f"  roi_shift={info['roi_shift']}" if info["roi_shift"] else ""
+        print(f"  step={info['base_step']:g} gain={info['level_gain']:g}"
+              f"{layers}{roi}  ll={info['ll_shape'][2]}x{info['ll_shape'][1]}")
+        print(f"  {info['total_bytes']:,} bytes = {info['bpp']:.3f} bpp"
+              f"  ({info['compression_ratio']:.1f}x vs raw;"
+              f" LL {info['ll_bytes']:,} + entropy {info['entropy_bytes']:,})")
+        state = info["integrity"] if info["checksummed"] else "no trailer (pre-checksum stream)"
+        print(f"  integrity: {state}"
+              + (f" — {', '.join(info['corrupt_sections'])}" if info["corrupt_sections"] else ""))
+        if args.planes:
+            for pl in info["planes"]:
+                layer = f" layer={pl['layer']}" if "layer" in pl else ""
+                _, sh, sw = pl["shape"]
+                print(f"    L{pl['level']} {pl['band']}{layer}: {sw}x{sh}"
+                      f" {pl['dtype']} {pl['codec']} {pl['nbytes']:,}B")
+        if info["integrity"] == "corrupt":
+            bad += 1
+    return 1 if bad else 0
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -342,12 +428,37 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'zero' decodes around checksum-corrupt detail planes instead of failing")
     d.set_defaults(fn=_cmd_decode)
 
-    i = sub.add_parser("icon", help="extract the depth-d LL icon of an image")
-    i.add_argument("input")
+    i = sub.add_parser("icon", help="extract the depth-d LL icon of an image"
+                       " (or the coarse band of a .wct stream, decode-free)")
+    i.add_argument("input", help="image file, or a .wct stream (LL extracted directly)")
     i.add_argument("output")
     i.add_argument("--depth", type=int, default=5)
     i.add_argument("--wavelet", default="haar", choices=["haar", "db2", "bior4.4", "legall5.3", "haar_int"])
     i.set_defaults(fn=_cmd_icon)
+
+    t = sub.add_parser("transcode", help="rewrite a .wct stream without re-running the DWT "
+                       "(drop layers/levels, swap entropy codec, re-layer)")
+    t.add_argument("input")
+    t.add_argument("output")
+    t.add_argument("--max-layers", type=int, default=None,
+                   help="keep only this many quality layers (SNR truncation)")
+    t.add_argument("--drop-levels", type=int, default=0, metavar="R",
+                   help="drop the finest R detail levels (1/2**R resolution stream)")
+    t.add_argument("--codec", default="auto", choices=["auto", "rice", "rc"],
+                   help="re-entropy-code the detail planes")
+    t.add_argument("--layers", type=int, default=None,
+                   help="re-layer to this many quality layers (default: preserve source layering)")
+    t.add_argument("--threads", type=int, default=8)
+    t.add_argument("--allow-truncated", action="store_true")
+    t.add_argument("--on-error", default="raise", choices=["raise", "zero"])
+    t.set_defaults(fn=_cmd_transcode)
+
+    n = sub.add_parser("info", help="inspect a .wct codestream (header, sections, integrity)")
+    n.add_argument("inputs", nargs="+", help=".wct file(s)")
+    n.add_argument("--json", action="store_true", help="machine-readable dump (one JSON object per file)")
+    n.add_argument("--planes", action="store_true", help="also list every detail-plane section")
+    n.add_argument("--no-verify", action="store_true", help="skip CRC verification (faster on huge files)")
+    n.set_defaults(fn=_cmd_info)
 
     c = sub.add_parser("compare", help="tabulate summaries across classifiers and depths")
     c.add_argument("results_folder")

@@ -1,4 +1,4 @@
-from wicca_tpu.codec.container import deserialize, load, save, serialize
+from wicca_tpu.codec.container import deserialize, inspect, load, save, serialize
 from wicca_tpu.codec.pipeline import (
     CodeStream,
     compression_ratio,

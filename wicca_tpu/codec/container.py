@@ -601,6 +601,142 @@ def deserialize(
     )
 
 
+_BAND_NAMES = ("lh", "hl", "hh")
+_CODEC_NAMES = {_CODEC_RICE: "rice", _CODEC_RC: "rc"}
+
+
+def inspect(data: bytes | str, verify: bool = True) -> dict:
+    """Structural dump of a ``.wct`` container WITHOUT entropy-decoding it
+    (the ``opj_dump`` analog: format triage, scripted stream audits).
+
+    Accepts raw bytes or a file path. Returns a dict:
+
+    - header fields: ``version wavelet levels channels orig_shape bit_depth
+      base_step level_gain hh_gain color chroma_gain layout ll_shape
+      quality_layers roi_shift bg_shift``
+    - ``planes``: one entry per detail-plane section in byte order —
+      ``{level, band, layer, codec, dtype, shape, nbytes}`` (``layer`` only
+      for layered streams). Truncated layered files list the complete-layer
+      prefix; ``complete_layers`` records how many survived.
+    - ``total_bytes``, ``ll_bytes``, ``entropy_bytes``, ``bpp`` (coded bits
+      per source pixel), ``compression_ratio`` (raw source bytes / coded)
+    - ``checksummed`` (trailer present) and, with ``verify`` (default),
+      ``integrity`` = 'ok' | 'corrupt' | 'unverified' plus
+      ``corrupt_sections`` naming any failing units — exactly the sections
+      :func:`deserialize` would reject or (``on_error='zero'``) drop.
+    """
+    if isinstance(data, str):
+        with open(data, "rb") as f:
+            data = f.read()
+    if data[:4] not in (_MAGIC, _MAGIC_V7, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+        raise ValueError("not a WCT container")
+    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6, _MAGIC_V7: 7}[data[:4]]
+    off = 4
+    wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
+    off += struct.calcsize("<BBBIIffII")
+    if version == 1:
+        color, chroma_gain = 0, 1.0
+    else:
+        color, chroma_gain = struct.unpack_from("<Bf", data, off)
+        off += struct.calcsize("<Bf")
+    if version >= 3:
+        layout = _LAYOUTS_INV[struct.unpack_from("<B", data, off)[0]]
+        off += 1
+    elif version == 1 and wv in _V1_GLOBAL_WAVELET_IDS:
+        layout = "global"
+    else:
+        layout = "tiled"
+    n_layers, bit_depth, roi_shift, bg_shift, hh_gain = 1, 8, 0, 0, 1.0
+    if version == 5:
+        (n_layers,) = struct.unpack_from("<B", data, off)
+        off += 1
+    elif version >= 6:
+        bit_depth, n_layers, roi_shift, bg_shift = struct.unpack_from("<BBBB", data, off)
+        off += 4
+    if version >= 7:
+        (hh_gain,) = struct.unpack_from("<f", data, off)
+        off += 4
+    layered = version == 5 or (version >= 6 and n_layers > 1)
+    ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
+    ll_bytes = lead * llh * llw * np.dtype(ll_dtype).itemsize
+    off += ll_bytes
+    n_planes = levels * 3
+    n_units = 1 + n_planes * (n_layers if layered else 1)
+
+    planes: list[dict] = []
+    complete_layers = n_layers if layered else 1
+    entropy_bytes = 0
+    try:
+        if layered:
+            dirs = []
+            for _ in range(n_planes):
+                dt_code, sh, sw = struct.unpack_from("<BII", data, off)
+                off += struct.calcsize("<BII")
+                dirs.append((dt_code, sh, sw))
+            complete_layers = 0
+            for q in range(n_layers):
+                layer_planes = []
+                for i in range(n_planes):
+                    codec_id, nbytes = struct.unpack_from("<BI", data, off)
+                    off += struct.calcsize("<BI")
+                    if codec_id > _CODEC_RC or off + nbytes > len(data):
+                        raise struct.error("truncated")
+                    dt_code, sh, sw = dirs[i]
+                    dt = np.int8 if q > 0 else _DTYPES_INV[dt_code]
+                    layer_planes.append(
+                        dict(level=i // 3 + 1, band=_BAND_NAMES[i % 3], layer=q,
+                             codec=_CODEC_NAMES[codec_id], dtype=np.dtype(dt).name,
+                             shape=(lead, sh, sw), nbytes=nbytes))
+                    off += nbytes
+                planes.extend(layer_planes)
+                entropy_bytes += sum(p["nbytes"] for p in layer_planes)
+                complete_layers += 1
+        else:
+            for i in range(n_planes):
+                if version >= 4:
+                    codec_id, dt_code, sh, sw, nbytes = struct.unpack_from("<BBIII", data, off)
+                    off += struct.calcsize("<BBIII")
+                else:
+                    dt_code, sh, sw, nbytes = struct.unpack_from("<BIII", data, off)
+                    off += struct.calcsize("<BIII")
+                    codec_id = _CODEC_RICE
+                if codec_id > _CODEC_RC or off + nbytes > len(data):
+                    raise struct.error("truncated")
+                planes.append(
+                    dict(level=i // 3 + 1, band=_BAND_NAMES[i % 3],
+                         codec=_CODEC_NAMES[codec_id], dtype=np.dtype(_DTYPES_INV[dt_code]).name,
+                         shape=(lead, sh, sw), nbytes=nbytes))
+                entropy_bytes += nbytes
+                off += nbytes
+    except struct.error:
+        pass  # truncated stream: report the intact prefix
+
+    trailer = _read_trailer(data, n_units)
+    integrity, corrupt = "unverified", []
+    if trailer is not None and verify:
+        prev = 0
+        for i, (end, crc) in enumerate(trailer):
+            sec = data[prev:end]
+            if zlib.crc32(sec) != crc:
+                corrupt.append("header/LL" if i == 0 else f"section {i}")
+            prev = end
+        integrity = "corrupt" if corrupt else "ok"
+    src_bytes = oh * ow * lead * max(1, (bit_depth + 7) // 8)
+    return dict(
+        version=version, wavelet=_WAVELETS_INV[wv], levels=levels, channels=lead,
+        orig_shape=(oh, ow), bit_depth=bit_depth, base_step=base_step,
+        level_gain=level_gain, hh_gain=hh_gain, color=_COLORS_INV[color],
+        chroma_gain=float(chroma_gain), layout=layout, ll_shape=(lead, llh, llw),
+        quality_layers=n_layers, complete_layers=complete_layers,
+        roi_shift=roi_shift, bg_shift=bg_shift,
+        planes=planes, total_bytes=len(data), ll_bytes=ll_bytes,
+        entropy_bytes=entropy_bytes, bpp=8.0 * len(data) / (oh * ow),
+        compression_ratio=src_bytes / len(data),
+        checksummed=trailer is not None, integrity=integrity,
+        corrupt_sections=corrupt,
+    )
+
+
 def save(
     stream: CodeStream,
     path: str,
