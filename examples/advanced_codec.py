@@ -79,6 +79,17 @@ def main(out_dir: str = "/tmp/wicca_advanced") -> None:
     print("uint16 lossless bit-exact:", np.array_equal(r16, x16),
           "| container:", serialize(s16)[:4])
 
+    # --- stream inspection + host-side transcoding -------------------------
+    from wicca_tpu.codec import inspect, transcode
+
+    info = inspect(str(out / "layered.wct"))
+    print(f"inspect: WCT{info['version']} {info['quality_layers']} layers, "
+          f"{info['bpp']:.2f} bpp, integrity {info['integrity']}")
+    m = transcode(out / "layered.wct", out / "half.wct", max_layers=2, drop_levels=1)
+    half = inspect(str(out / "half.wct"))
+    print(f"transcode (2 layers, half-res): {m['bytes_in']:,} -> {m['bytes_out']:,} B, "
+          f"now {half['orig_shape']} levels={half['levels']}")
+
     # --- visual frequency weighting (hh_gain, WCT7) -------------------------
     flat = encode(img, levels=4, spec=QuantSpec(base_step=1.0))
     weighted = encode(img, levels=4, spec=QuantSpec(base_step=1.0, hh_gain=2.0))
