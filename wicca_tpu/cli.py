@@ -107,6 +107,16 @@ def _cmd_encode(args) -> int:
         mask[r0:r1, c0:c1] = True
         stream = apply_roi(stream, mask, bg_shift=args.roi_bg_shift)
         note += f"  [ROI [{r0}:{r1}, {c0}:{c1}), guard {stream.roi_shift} bits, bg -{args.roi_bg_shift} bits]"
+    if args.meta:
+        from wicca_tpu.codec import with_metadata
+
+        try:
+            kv = dict(item.split("=", 1) for item in args.meta)
+        except ValueError:
+            print("error: --meta items must be key=value", file=sys.stderr)
+            return 2
+        stream = with_metadata(stream, kv)
+        note += f"  [metadata: {', '.join(sorted(kv))}]"
     nbytes = save(stream, args.output, threads=args.threads, codec=args.codec,
                   quality_layers=args.quality_layers)
     raw = int(image.nbytes)
@@ -294,6 +304,9 @@ def _cmd_info(args) -> int:
         print(f"  {info['total_bytes']:,} bytes = {info['bpp']:.3f} bpp"
               f"  ({info['compression_ratio']:.1f}x vs raw;"
               f" LL {info['ll_bytes']:,} + entropy {info['entropy_bytes']:,})")
+        if info["metadata"]:
+            pairs = ", ".join(f"{k} ({v}B)" for k, v in sorted(info["metadata"].items()))
+            print(f"  metadata: {pairs}")
         state = info["integrity"] if info["checksummed"] else "no trailer (pre-checksum stream)"
         print(f"  integrity: {state}"
               + (f" — {', '.join(info['corrupt_sections'])}" if info["corrupt_sections"] else ""))
@@ -377,6 +390,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--keep-alpha", action="store_true",
                    help="keep the alpha plane of RGBA sources (coded as a 4th "
                         "component; color transforms rotate RGB only)")
+    e.add_argument("--meta", action="append", default=[], metavar="KEY=VALUE",
+                   help="attach application metadata to the stream (repeatable; "
+                        "carried in the container, shown by `info`, preserved by transcode)")
     e.set_defaults(fn=_cmd_encode)
 
     eb = sub.add_parser("encode-batch", help="encode a folder of images to .wct files "

@@ -9,6 +9,7 @@ from wicca_tpu.codec.pipeline import (
     entropy_ratio,
     estimated_entropy_bytes,
     icon_from_stream,
+    with_metadata,
 )
 from wicca_tpu.codec.rd import encode_to_bpp, encode_to_psnr, plot_rd_curve, rd_curve, rd_point
 from wicca_tpu.codec.roi import apply_roi

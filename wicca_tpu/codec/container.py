@@ -35,6 +35,13 @@ Extended-header variants:
   detail planes may be int32 (dtype code 2).
   WCT7 — written when the spec carries visual frequency weighting
   (QuantSpec.hh_gain != 1): the WCT6 extended block + f32 hh_gain.
+  WCT8 — written when the stream carries application metadata
+  (``CodeStream.metadata``, attached via ``codec.with_metadata`` — the
+  JPEG2000 XML/UUID-box analog for EXIF/ICC/notes): always the full
+  extended block + f32 hh_gain, then u16 n_items | per item
+  (u16 keylen | key utf-8 | u32 vallen | value), before the LL plane.
+  Metadata is part of unit 0 so the CRC trailer protects it; decode
+  ignores it; transcode preserves it.
 
 Detail-plane codecs (both in wicca_tpu/native/entropy.cpp, formats FROZEN):
   0 rice — adaptive Rice/Golomb with zero-run blocks; fastest.
@@ -104,6 +111,14 @@ _MAGIC_V6 = b"WCT6"
 # WCT7 — written when the spec carries visual frequency weighting
 # (QuantSpec.hh_gain != 1): WCT6 layout + f32 hh_gain after the BBBB block
 _MAGIC_V7 = b"WCT7"
+# WCT8 — written when the stream carries application metadata (the JPEG2000
+# XML/UUID-box analog): always the full extended block (BBBB + f32 hh_gain),
+# then u16 n_items | per item (u16 keylen | key utf-8 | u32 vallen | value),
+# then the LL plane. Metadata lives inside unit 0, so the CRC trailer
+# protects it; decode never reads it.
+_MAGIC_V8 = b"WCT8"
+_ALL_MAGICS = (b"WCT1", b"WCT2", b"WCT3", b"WCT4", b"WCT5", b"WCT6", b"WCT7", b"WCT8")
+_VERSIONS = {m: i + 1 for i, m in enumerate(_ALL_MAGICS)}
 _MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
 _MAGIC_V1 = b"WCT1"  # still readable: no color fields; wide streams GLOBAL
@@ -132,15 +147,15 @@ def peek_layers(data: bytes | str) -> int:
     if isinstance(data, (str, bytes)) and not isinstance(data, bytes):
         with open(data, "rb") as f:
             data = f.read(64)
-    if data[:4] not in (_MAGIC, _MAGIC_V7, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+    if data[:4] not in _ALL_MAGICS:
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6, _MAGIC_V7: 7}[data[:4]]
+    version = _VERSIONS[data[:4]]
     if version < 5:
         return 1
     off = 4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf") + 1
     if version == 5:
         return struct.unpack_from("<B", data, off)[0]
-    return struct.unpack_from("<BBBB", data, off)[1]  # WCT6/7: bit_depth, n_layers, ...
+    return struct.unpack_from("<BBBB", data, off)[1]  # WCT6+: bit_depth, n_layers, ...
 
 
 def _trailer_bytes(unit_ends: list[int]) -> bytes:
@@ -270,9 +285,13 @@ def serialize(
     roi_shift = getattr(stream, "roi_shift", 0)
     bg_shift = getattr(stream, "bg_shift", 0)
     hh_gain = getattr(stream.spec, "hh_gain", 1.0)
-    v7 = hh_gain != 1.0
-    v6 = (bit_depth != 8 or roi_shift > 0) and not v7
-    if v7:
+    meta = tuple(getattr(stream, "metadata", ()) or ())
+    v8 = bool(meta)
+    v7 = hh_gain != 1.0 and not v8
+    v6 = (bit_depth != 8 or roi_shift > 0) and not v7 and not v8
+    if v8:
+        out += _MAGIC_V8
+    elif v7:
         out += _MAGIC_V7
     elif v6:
         out += _MAGIC_V6
@@ -292,10 +311,22 @@ def serialize(
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
-    if v6 or v7:
+    if v6 or v7 or v8:
         out += struct.pack("<BBBB", bit_depth, quality_layers, roi_shift, bg_shift)
-    if v7:
+    if v7 or v8:
         out += struct.pack("<f", hh_gain)
+    if v8:
+        if len(meta) > 0xFFFF:
+            raise ValueError("too many metadata items (max 65535)")
+        out += struct.pack("<H", len(meta))
+        for key, val in meta:
+            kb = key.encode("utf-8")
+            if len(kb) > 0xFFFF:
+                raise ValueError(f"metadata key too long: {key[:40]!r}...")
+            if len(val) > 0xFFFFFFFF:
+                raise ValueError(f"metadata value for {key!r} exceeds 4 GiB")
+            out += struct.pack("<H", len(kb)) + kb
+            out += struct.pack("<I", len(val)) + val
     units: list[tuple[int, int]] = []  # (end_offset, crc32) per unit
 
     def _close_unit(start: int) -> None:
@@ -316,10 +347,10 @@ def serialize(
         if checksums:
             out += _trailer_bytes(units)
         return bytes(out)
-    # WCT5/6/7 quality-layered: layer-major sections so any byte prefix
-    # covering complete layers decodes at reduced quality (v6/v7 already
-    # wrote n_layers)
-    if not (v6 or v7):
+    # WCT5/6/7/8 quality-layered: layer-major sections so any byte prefix
+    # covering complete layers decodes at reduced quality (the v6+ extended
+    # block already carries n_layers)
+    if not (v6 or v7 or v8):
         out += struct.pack("<B", quality_layers)
     out += ll.tobytes()
     subs = [_split_layers(p, quality_layers) for p in planes]
@@ -337,6 +368,25 @@ def serialize(
     if checksums:
         out += _trailer_bytes(units)
     return bytes(out)
+
+
+def _read_metadata(data: bytes, off: int, version: int) -> tuple[tuple, int]:
+    """WCT8 metadata block at ``off`` -> ((key, value), ...), new offset."""
+    if version < 8:
+        return (), off
+    (n_items,) = struct.unpack_from("<H", data, off)
+    off += 2
+    items = []
+    for _ in range(n_items):
+        (klen,) = struct.unpack_from("<H", data, off)
+        off += 2
+        key = data[off : off + klen].decode("utf-8")
+        off += klen
+        (vlen,) = struct.unpack_from("<I", data, off)
+        off += 4
+        items.append((key, bytes(data[off : off + vlen])))
+        off += vlen
+    return tuple(items), off
 
 
 def deserialize(
@@ -361,9 +411,9 @@ def deserialize(
     corruption of the header/LL section always raises."""
     if on_error not in ("raise", "zero"):
         raise ValueError(f"on_error must be raise|zero, got {on_error!r}")
-    if data[:4] not in (_MAGIC, _MAGIC_V7, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+    if data[:4] not in _ALL_MAGICS:
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6, _MAGIC_V7: 7}[data[:4]]
+    version = _VERSIONS[data[:4]]
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
@@ -393,6 +443,7 @@ def deserialize(
     if version >= 7:
         (hh_gain,) = struct.unpack_from("<f", data, off)
         off += 4
+    metadata, off = _read_metadata(data, off, version)
     layered = version == 5 or (version >= 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
@@ -598,6 +649,7 @@ def deserialize(
         ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
         wavelet=_WAVELETS_INV[wv], color=_COLORS_INV[color], chroma_gain=float(chroma_gain),
         layout=layout, bit_depth=int(bit_depth), roi_shift=int(roi_shift), bg_shift=int(bg_shift),
+        metadata=metadata,
     )
 
 
@@ -628,9 +680,9 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
     if isinstance(data, str):
         with open(data, "rb") as f:
             data = f.read()
-    if data[:4] not in (_MAGIC, _MAGIC_V7, _MAGIC_V6, _MAGIC_V5, _MAGIC_V3, _MAGIC_V2, _MAGIC_V1):
+    if data[:4] not in _ALL_MAGICS:
         raise ValueError("not a WCT container")
-    version = {_MAGIC_V1: 1, _MAGIC_V2: 2, _MAGIC_V3: 3, _MAGIC: 4, _MAGIC_V5: 5, _MAGIC_V6: 6, _MAGIC_V7: 7}[data[:4]]
+    version = _VERSIONS[data[:4]]
     off = 4
     wv, levels, lead, oh, ow, base_step, level_gain, llh, llw = struct.unpack_from("<BBBIIffII", data, off)
     off += struct.calcsize("<BBBIIffII")
@@ -656,6 +708,7 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
     if version >= 7:
         (hh_gain,) = struct.unpack_from("<f", data, off)
         off += 4
+    meta_items, off = _read_metadata(data, off, version)
     layered = version == 5 or (version >= 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll_bytes = lead * llh * llw * np.dtype(ll_dtype).itemsize
@@ -729,6 +782,7 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
         chroma_gain=float(chroma_gain), layout=layout, ll_shape=(lead, llh, llw),
         quality_layers=n_layers, complete_layers=complete_layers,
         roi_shift=roi_shift, bg_shift=bg_shift,
+        metadata={k: len(v) for k, v in meta_items},
         planes=planes, total_bytes=len(data), ll_bytes=ll_bytes,
         entropy_bytes=entropy_bytes, bpp=8.0 * len(data) / (oh * ow),
         compression_ratio=src_bytes / len(data),

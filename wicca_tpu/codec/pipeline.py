@@ -59,7 +59,7 @@ def _crop_semantic(ll, details, h_sem: int, w_sem: int, levels: int):
     data_fields=["ll", "details"],
     meta_fields=[
         "spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain",
-        "layout", "bit_depth", "roi_shift", "bg_shift",
+        "layout", "bit_depth", "roi_shift", "bg_shift", "metadata",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +90,12 @@ class CodeStream:
     # the rest are background (stored >> bg_shift, i.e. 2**bg_shift coarser)
     roi_shift: int = 0
     bg_shift: int = 0
+    # application metadata carried by the container (the JPEG2000 XML/UUID
+    # box analog: EXIF dumps, ICC profiles, capture notes). Key/value byte
+    # pairs as a tuple so the pytree stays hashable for jit; never touches
+    # the transform. Attach with codec.with_metadata(); preserved by
+    # save/load and transcode; shown by `info`.
+    metadata: tuple[tuple[str, bytes], ...] = ()
 
     def num_bytes(self) -> int:
         n = self.ll.size * self.ll.dtype.itemsize
@@ -428,6 +434,18 @@ def _finish_decode(stream: CodeStream, x: jax.Array, emit_u8: bool) -> jax.Array
     if emit_u8 and x.dtype not in (jnp.uint8, jnp.uint16):
         x = _emit_native(stream, x)
     return unpad(x, *stream.orig_shape)
+
+
+def with_metadata(stream: CodeStream, meta: dict[str, bytes | str]) -> CodeStream:
+    """Attach application metadata (EXIF dump, ICC profile, notes — the
+    JPEG2000 XML/UUID-box analog) to a stream. Values may be str (stored
+    utf-8) or bytes; ``{}`` clears. Serialized in the WCT8 header block,
+    preserved across save/load and transcode, ignored by decode."""
+    items = tuple(
+        (str(k), v.encode("utf-8") if isinstance(v, str) else bytes(v))
+        for k, v in meta.items()
+    )
+    return dataclasses.replace(stream, metadata=items)
 
 
 def icon_from_stream(stream: CodeStream) -> jax.Array:
