@@ -99,6 +99,22 @@ def test_metadata_validation():
     assert C.serialize(s)[:4] == b"WCT4"
 
 
+def test_encode_folder_metadata(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from wicca_tpu.codec.batch import encode_folder
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(src / f"f{i}.png"),
+                    np.random.default_rng(i).integers(0, 256, (64, 64, 3), dtype=np.uint8))
+    out = tmp_path / "out"
+    encode_folder(src, out, levels=2, metadata={"session": "night-3", "rig": b"\x07"})
+    for p in sorted(out.glob("*.wct")):
+        back = C.load(str(p))
+        assert dict(back.metadata) == {"session": b"night-3", "rig": b"\x07"}
+
+
 def test_cli_meta_flag_and_info(tmp_path, capsys):
     cv2 = pytest.importorskip("cv2")
     from wicca_tpu.cli import main

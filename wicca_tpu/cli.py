@@ -130,12 +130,19 @@ def _cmd_encode_batch(args) -> int:
     from wicca_tpu.codec.batch import encode_folder
     from wicca_tpu.core.quant import QuantSpec
 
+    meta = None
+    if args.meta:
+        try:
+            meta = dict(item.split("=", 1) for item in args.meta)
+        except ValueError:
+            print("error: --meta items must be key=value", file=sys.stderr)
+            return 2
     metrics = encode_folder(
         args.input_dir, args.output_dir, levels=args.levels,
         spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain), wavelet=args.wavelet,
         color=args.color, chroma_gain=args.chroma_gain, bit_depth=args.bit_depth,
         codec=args.codec, quality_layers=args.quality_layers, threads=args.threads,
-        keep_alpha=args.keep_alpha, resume=args.resume,
+        keep_alpha=args.keep_alpha, resume=args.resume, metadata=meta,
     )
     print(json.dumps(metrics))
     return 0
@@ -414,6 +421,8 @@ def build_parser() -> argparse.ArgumentParser:
     eb.add_argument("--keep-alpha", action="store_true",
                     help="keep the alpha plane of RGBA sources (coded as a 4th component)")
     eb.add_argument("--threads", type=int, default=8)
+    eb.add_argument("--meta", action="append", default=[], metavar="KEY=VALUE",
+                    help="attach the same metadata items to every produced stream (repeatable)")
     eb.set_defaults(fn=_cmd_encode_batch)
 
     db = sub.add_parser("decode-batch", help="decode a folder of .wct files to images")

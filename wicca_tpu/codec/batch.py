@@ -45,6 +45,7 @@ def encode_folder(
     prefetch: int | None = None,
     keep_alpha: bool = False,
     resume: bool = False,
+    metadata: dict[str, bytes | str] | None = None,
 ) -> dict:
     """Encode every image in ``in_dir`` to ``<out_dir>/<stem>.wct``.
 
@@ -54,6 +55,8 @@ def encode_folder(
     4-component streams (mirrors the single-image encode path; RGB sources
     are unaffected). ``resume`` skips sources whose ``.wct`` already exists
     (same semantics as the harness's resume: restartable long folder runs).
+    ``metadata`` attaches the same key/value items (capture session, rig id)
+    to every produced stream (container metadata box, WCT8).
     Returns throughput metrics."""
     in_dir, out_dir = Path(in_dir), Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -96,6 +99,10 @@ def encode_folder(
                 to_planar(img), levels=levels, spec=spec, wavelet=wavelet,
                 color=color, chroma_gain=chroma_gain, bit_depth=bit_depth,
             )
+            if metadata:
+                from wicca_tpu.codec.pipeline import with_metadata
+
+                stream = with_metadata(stream, metadata)
             dst = out_dir / (path.stem + ".wct")
             # serialize fetches device arrays + entropy-codes on the pool
             writes.append(pool.submit(
