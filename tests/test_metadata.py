@@ -91,6 +91,21 @@ def test_inspect_reports_metadata_and_trailer_protects_it():
         C.deserialize(bytes(bad))
 
 
+def test_corrupt_metadata_block_is_a_valueerror_not_struct_error():
+    import struct
+
+    s = with_metadata(_stream(), {"k": b"v"})
+    data = bytearray(C.serialize(s))
+    n_items_off = (4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf")
+                   + 1 + 4 + 4)
+    struct.pack_into("<H", data, n_items_off, 0xFFFF)  # claim 65535 items
+    with pytest.raises(ValueError, match="metadata"):
+        C.deserialize(bytes(data))
+    info = C.inspect(bytes(data))  # dump degrades instead of raising
+    assert info["metadata_error"] is not None
+    assert info["integrity"] == "corrupt"
+
+
 def test_metadata_validation():
     with pytest.raises(ValueError, match="key too long"):
         C.serialize(with_metadata(_stream(), {"k" * 70000: b"v"}))

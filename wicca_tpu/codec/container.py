@@ -371,21 +371,28 @@ def serialize(
 
 
 def _read_metadata(data: bytes, off: int, version: int) -> tuple[tuple, int]:
-    """WCT8 metadata block at ``off`` -> ((key, value), ...), new offset."""
+    """WCT8 metadata block at ``off`` -> ((key, value), ...), new offset.
+    Malformed blocks raise ValueError (the container's error contract),
+    never raw struct/unicode errors."""
     if version < 8:
         return (), off
-    (n_items,) = struct.unpack_from("<H", data, off)
-    off += 2
-    items = []
-    for _ in range(n_items):
-        (klen,) = struct.unpack_from("<H", data, off)
+    try:
+        (n_items,) = struct.unpack_from("<H", data, off)
         off += 2
-        key = data[off : off + klen].decode("utf-8")
-        off += klen
-        (vlen,) = struct.unpack_from("<I", data, off)
-        off += 4
-        items.append((key, bytes(data[off : off + vlen])))
-        off += vlen
+        items = []
+        for _ in range(n_items):
+            (klen,) = struct.unpack_from("<H", data, off)
+            off += 2
+            key = data[off : off + klen].decode("utf-8")
+            off += klen
+            (vlen,) = struct.unpack_from("<I", data, off)
+            off += 4
+            if off + vlen > len(data):
+                raise ValueError("metadata value overruns the container")
+            items.append((key, bytes(data[off : off + vlen])))
+            off += vlen
+    except (struct.error, UnicodeDecodeError) as e:
+        raise ValueError(f"container metadata block corrupt: {e}") from None
     return tuple(items), off
 
 
@@ -672,6 +679,9 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
       prefix; ``complete_layers`` records how many survived.
     - ``total_bytes``, ``ll_bytes``, ``entropy_bytes``, ``bpp`` (coded bits
       per source pixel), ``compression_ratio`` (raw source bytes / coded)
+    - ``metadata``: key -> value size of the WCT8 metadata box ({} when
+      absent); ``metadata_error`` is a damage note when the box is
+      unparseable (the dump degrades instead of raising)
     - ``checksummed`` (trailer present) and, with ``verify`` (default),
       ``integrity`` = 'ok' | 'corrupt' | 'unverified' plus
       ``corrupt_sections`` naming any failing units — exactly the sections
@@ -708,7 +718,14 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
     if version >= 7:
         (hh_gain,) = struct.unpack_from("<f", data, off)
         off += 4
-    meta_items, off = _read_metadata(data, off, version)
+    try:
+        meta_items, off = _read_metadata(data, off, version)
+        meta_note = None
+    except ValueError as e:
+        # report the damage instead of refusing the whole dump; the CRC
+        # audit below independently flags unit 0 as corrupt
+        meta_items, meta_note = (), str(e)
+        off = len(data)  # geometry unrecoverable past this point
     layered = version == 5 or (version >= 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
     ll_bytes = lead * llh * llw * np.dtype(ll_dtype).itemsize
@@ -783,6 +800,7 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
         quality_layers=n_layers, complete_layers=complete_layers,
         roi_shift=roi_shift, bg_shift=bg_shift,
         metadata={k: len(v) for k, v in meta_items},
+        metadata_error=meta_note,
         planes=planes, total_bytes=len(data), ll_bytes=ll_bytes,
         entropy_bytes=entropy_bytes, bpp=8.0 * len(data) / (oh * ow),
         compression_ratio=src_bytes / len(data),
