@@ -144,3 +144,7 @@ def test_cli_meta_flag_and_info(tmp_path, capsys):
     assert "metadata: camera (8B), scene (4B)" in out
     assert "WCT8" in out
     assert main(["encode", str(src), str(wct), "--meta", "novalue"]) == 2
+    capsys.readouterr()
+    assert main(["encode", str(src), str(wct), "--levels", "2", "--meta", "a=1"]) == 0
+    assert main(["decode", str(wct), str(tmp_path / "rec.png")]) == 0
+    assert "[metadata: a]" in capsys.readouterr().out

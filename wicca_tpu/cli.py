@@ -190,6 +190,8 @@ def _cmd_decode(args) -> int:
     else:
         cv2.imwrite(args.output, rec_hwc)
     msg = f"{args.input} -> {args.output} {rec_hwc.shape}"
+    if stream.metadata:
+        msg += f"  [metadata: {', '.join(sorted(k for k, _ in stream.metadata))}]"
     if args.original:
         from wicca_tpu.core.metrics import psnr
         from wicca_tpu.data.loader import load_image, load_image_raw
