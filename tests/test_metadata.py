@@ -148,3 +148,61 @@ def test_cli_meta_flag_and_info(tmp_path, capsys):
     assert main(["encode", str(src), str(wct), "--levels", "2", "--meta", "a=1"]) == 0
     assert main(["decode", str(wct), str(tmp_path / "rec.png")]) == 0
     assert "[metadata: a]" in capsys.readouterr().out
+
+
+def test_metadata_does_not_enter_the_jit_cache_key():
+    """ADVICE r3 (medium): metadata must be stripped before the jitted decode
+    core — distinct per-file metadata must NOT retrace/recompile decode."""
+    from wicca_tpu.codec import pipeline as P
+
+    base = _stream()
+    a = with_metadata(base, {"file": b"one"})
+    b = with_metadata(base, {"file": b"two", "extra": b"x" * 1000})
+    decode(base, emit_u8=True)
+    n0 = P._decode_jit._cache_size()
+    np.testing.assert_array_equal(
+        np.asarray(decode(a, emit_u8=True)), np.asarray(decode(b, emit_u8=True))
+    )
+    assert P._decode_jit._cache_size() == n0  # no new traces for metadata
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    decode_at_level(base, 1)
+    n1 = P._decode_at_level_jit._cache_size()
+    decode_at_level(a, 1)
+    decode_at_level(b, 1)
+    assert P._decode_at_level_jit._cache_size() == n1
+
+
+def test_inspect_corrupt_metadata_reports_zero_complete_layers():
+    """ADVICE r3: a layered stream whose metadata block is corrupt must not
+    claim all layers complete (the parse never reached them)."""
+    import struct
+
+    s = with_metadata(_stream(), {"k": b"v"})
+    data = bytearray(C.serialize(s, quality_layers=3))
+    n_items_off = (4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf")
+                   + 1 + 4 + 4)
+    struct.pack_into("<H", data, n_items_off, 0xFFFF)
+    info = C.inspect(bytes(data))
+    assert info["metadata_error"] is not None
+    assert info["complete_layers"] == 0
+    assert info["planes"] == []
+
+
+def test_cli_info_exit_1_on_corrupt_metadata(tmp_path, capsys):
+    """ADVICE r3: `info` must exit nonzero when the metadata box is corrupt,
+    even without a CRC pass (--no-verify)."""
+    import struct
+
+    from wicca_tpu.cli import main
+
+    s = with_metadata(_stream(), {"k": b"v"})
+    data = bytearray(C.serialize(s))
+    n_items_off = (4 + struct.calcsize("<BBBIIffII") + struct.calcsize("<Bf")
+                   + 1 + 4 + 4)
+    struct.pack_into("<H", data, n_items_off, 0xFFFF)
+    bad = tmp_path / "bad.wct"
+    bad.write_bytes(bytes(data))
+    assert main(["info", str(bad), "--no-verify"]) == 1
+    assert "metadata: CORRUPT" in capsys.readouterr().out
+    assert main(["info", "--json", str(bad), "--no-verify"]) == 1

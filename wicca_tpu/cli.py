@@ -298,7 +298,9 @@ def _cmd_info(args) -> int:
             continue
         if args.json:
             print(json.dumps({"file": path, **info}))
-            if info["integrity"] == "corrupt":
+            # a detectably-corrupt metadata box fails the audit even when no
+            # CRC trailer exists / --no-verify skips the CRC pass (ADVICE r3)
+            if info["integrity"] == "corrupt" or info["metadata_error"]:
                 bad += 1
             continue
         oh, ow = info["orig_shape"]
@@ -319,13 +321,15 @@ def _cmd_info(args) -> int:
         state = info["integrity"] if info["checksummed"] else "no trailer (pre-checksum stream)"
         print(f"  integrity: {state}"
               + (f" — {', '.join(info['corrupt_sections'])}" if info["corrupt_sections"] else ""))
+        if info["metadata_error"]:
+            print(f"  metadata: CORRUPT — {info['metadata_error']}")
         if args.planes:
             for pl in info["planes"]:
                 layer = f" layer={pl['layer']}" if "layer" in pl else ""
                 _, sh, sw = pl["shape"]
                 print(f"    L{pl['level']} {pl['band']}{layer}: {sw}x{sh}"
                       f" {pl['dtype']} {pl['codec']} {pl['nbytes']:,}B")
-        if info["integrity"] == "corrupt":
+        if info["integrity"] == "corrupt" or info["metadata_error"]:
             bad += 1
     return 1 if bad else 0
 

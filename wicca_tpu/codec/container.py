@@ -734,7 +734,11 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
     n_units = 1 + n_planes * (n_layers if layered else 1)
 
     planes: list[dict] = []
-    complete_layers = n_layers if layered else 1
+    # start at 0 and count up as layers parse — if the metadata block or
+    # plane directory is unreadable the dump must NOT report
+    # n_layers/n_layers complete (ADVICE r3); flat streams flip to 1 only
+    # once their whole plane section parses
+    complete_layers = 0
     entropy_bytes = 0
     try:
         if layered:
@@ -743,7 +747,6 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
                 dt_code, sh, sw = struct.unpack_from("<BII", data, off)
                 off += struct.calcsize("<BII")
                 dirs.append((dt_code, sh, sw))
-            complete_layers = 0
             for q in range(n_layers):
                 layer_planes = []
                 for i in range(n_planes):
@@ -778,6 +781,7 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
                          shape=(lead, sh, sw), nbytes=nbytes))
                 entropy_bytes += nbytes
                 off += nbytes
+            complete_layers = 1
     except struct.error:
         pass  # truncated stream: report the intact prefix
 

@@ -293,7 +293,6 @@ def _normalize_roi(stream: CodeStream) -> CodeStream:
     return dataclasses.replace(stream, details=details, roi_shift=0, bg_shift=0)
 
 
-@partial(jax.jit, static_argnames=("emit_u8", "recon_offset"))
 def decode(stream: CodeStream, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
     """CodeStream -> reconstructed image (original dims), float32 by default;
     ``emit_u8`` clips+casts inside the final fused pass (4x less output
@@ -307,6 +306,18 @@ def decode(stream: CodeStream, emit_u8: bool = False, recon_offset: float = 0.5)
     The encoder may tile-pad each level's input (see dwt_level_quant_pallas);
     stored subband shapes record it, so each reconstruction is cropped to the
     next-finer level's subband extent before combining."""
+    # metadata is a meta_field (static in the pytree treedef), so it must be
+    # stripped BEFORE the jitted core: otherwise every distinct metadata
+    # value is a fresh jit cache key -> full retrace + device recompile per
+    # file when decoding folders of WCT8 streams (ADVICE r3, medium), and
+    # every dispatch hashes the full metadata bytes.
+    return _decode_jit(
+        dataclasses.replace(stream, metadata=()), emit_u8=emit_u8, recon_offset=recon_offset
+    )
+
+
+@partial(jax.jit, static_argnames=("emit_u8", "recon_offset"))
+def _decode_jit(stream: CodeStream, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
     stream = _normalize_roi(stream)
     # with a color transform the in-kernel u8 emission must wait until after
     # the inverse color rotation (shared tail below)
@@ -643,7 +654,6 @@ def decode_region(
     return out[..., row0 - r0 : row1 - r0, col0 - c0 : col1 - c0]
 
 
-@partial(jax.jit, static_argnames=("target_level", "emit_u8", "recon_offset"))
 def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
     """Progressive decode: reconstruct at 1/2**target_level resolution using
     only the coarse subbands (resolution scalability — the stream is decoded
@@ -655,8 +665,17 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
     """
     if not 0 <= target_level <= stream.levels:
         raise ValueError(f"target_level must be in [0, {stream.levels}]")
+    # strip metadata before the jitted core (see decode)
+    return _decode_at_level_jit(
+        dataclasses.replace(stream, metadata=()), target_level,
+        emit_u8=emit_u8, recon_offset=recon_offset,
+    )
+
+
+@partial(jax.jit, static_argnames=("target_level", "emit_u8", "recon_offset"))
+def _decode_at_level_jit(stream: CodeStream, target_level: int, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
     if target_level == 0:
-        return decode(stream, emit_u8=emit_u8, recon_offset=recon_offset)
+        return _decode_jit(stream, emit_u8=emit_u8, recon_offset=recon_offset)
     stream = _normalize_roi(stream)
     h, w = stream.orig_shape
     out_h = -(-h // (1 << target_level))
