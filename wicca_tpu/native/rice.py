@@ -34,7 +34,10 @@ def _load():
         if os.environ.get("WICCA_TPU_NO_NATIVE"):
             return None
         try:
-            if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < (_DIR / "entropy.cpp").stat().st_mtime:
+            srcs = [_DIR / "entropy.cpp", _DIR / "pack.cpp"]
+            if not _LIB_PATH.exists() or any(
+                _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs
+            ):
                 subprocess.run(["make", "-s", "-C", str(_DIR)], check=True, capture_output=True)
             lib = ctypes.CDLL(str(_LIB_PATH))
             _p, _z = ctypes.c_char_p, ctypes.c_size_t
@@ -51,10 +54,19 @@ def _load():
                 ("wicca_rice_decode_i32", [_p, _z, _p, _z]),
                 ("wicca_rc_encode_i32", [_p, _z, _z, _z, _p, _z]),
                 ("wicca_rc_decode_i32", [_p, _z, _p, _z, _z, _z]),
+                # PACK1 tunnel-transfer kernels (pack.cpp / codec/transfer.py)
+                ("wicca_pack1_reconstruct_i8", [_p, _p, ctypes.c_int, _z, _z, _z, _z, _p]),
+                ("wicca_pack1_reconstruct_i16", [_p, _p, ctypes.c_int, _z, _z, _z, _z, _p]),
+                ("wicca_pack1_pack_i8", [_p, _z, _z, ctypes.c_int, _p, _p, _p, _z]),
+                ("wicca_pack1_pack_i16", [_p, _z, _z, ctypes.c_int, _p, _p, _p, _z]),
             ]:
                 fn = getattr(lib, name)
                 fn.argtypes = argt
                 fn.restype = ctypes.c_size_t
+            for name in ("wicca_pack1_stats_i8", "wicca_pack1_stats_i16"):
+                fn = getattr(lib, name)
+                fn.argtypes = [_p, _z, _p]
+                fn.restype = None
             _lib = lib
         except Exception as e:  # noqa: BLE001
             logging.warning(f"native entropy codec unavailable ({e}); using numpy fallback")
