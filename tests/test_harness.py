@@ -269,3 +269,78 @@ def test_reconstruction_compare_lossless_rct(data_folder, classifiers, tmp_path)
             results_folder=tmp_path / "res_bad2", log_info=False,
             compare="reconstruction", codec_wavelet="haar", codec_color="rct",
         )
+
+
+# ---- classifier-level concurrency (reference `parallel` semantics) ----
+
+
+def _barrier_classifier(barrier, shape=(32, 32)):
+    """A fake classifier whose model() blocks on a shared barrier: only
+    genuinely CONCURRENT classifier execution lets it proceed."""
+    def model(x):
+        barrier.wait(timeout=20)
+        return np.tile(np.arange(10, dtype=np.float32), (len(x), 1))
+
+    def dec(logits, top=5):
+        order = np.argsort(-np.asarray(logits), axis=1)[:, :top]
+        return [[(f"n{j}", f"class_{j}", 1.0) for j in row] for row in order]
+
+    return {MODEL: model, PRE_INP: lambda x: x / 255.0, DEC_PRED: dec, SHAPE: shape}
+
+
+def test_classifier_workers_policy():
+    import jax
+
+    proc = ClassifierProcessor.__new__(ClassifierProcessor)
+    proc.parallel = None
+    if jax.default_backend() == "tpu":
+        assert proc._classifier_workers(4) == 1
+    else:
+        assert proc._classifier_workers(4) == 4  # reference default: one thread each
+        proc.parallel = 2
+        assert proc._classifier_workers(4) == 2
+        assert proc._classifier_workers(1) == 1
+
+
+def test_classifiers_fan_out_concurrently(data_folder, tmp_path):
+    """Reference semantics (classifying_tools.py:389-438): classifiers run
+    in parallel threads on non-TPU backends. Two barrier classifiers
+    deadlock unless both batches run at once."""
+    import threading
+    import jax
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("TPU serializes classifiers by design (docs/PARITY.md)")
+    barrier = threading.Barrier(2)
+    clfs = {"a": _barrier_classifier(barrier), "b": _barrier_classifier(barrier)}
+    proc = ClassifierProcessor(
+        data_folder, transform_depth=1, results_folder=tmp_path / "r",
+        log_info=False, batch_size=100, top_classes=3,
+    )
+    res = proc.process_classifiers(clfs, timeout=60)
+    assert set(res) == {"a", "b"}  # both completed -> they truly overlapped
+
+
+def test_classifiers_serialize_with_parallel_1(data_folder, tmp_path):
+    """parallel=1 pins the classifier pool to one thread: the barrier never
+    releases, the classifiers fail in isolation, partial results persist."""
+    import threading
+    import jax
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("TPU path is always serial")
+    barrier = threading.Barrier(2)  # can never be satisfied serially
+    good = load_models({"ok": ("SimpleCNN", {"shape": (32, 32)})})["ok"]
+    clfs = {"a": _barrier_classifier(barrier), "ok": good}
+    proc = ClassifierProcessor(
+        data_folder, transform_depth=1, results_folder=tmp_path / "r1",
+        log_info=False, batch_size=100, parallel=1, top_classes=3,
+    )
+    barrier_timeout = threading.Barrier(2)
+
+    def fast_fail_wait(timeout=None):
+        raise threading.BrokenBarrierError()
+
+    barrier.wait = fast_fail_wait  # serial path -> immediate isolated failure
+    res = proc.process_classifiers(clfs, timeout=60)
+    assert "ok" in res and "a" not in res

