@@ -81,6 +81,23 @@ def run():
     ours = sweep("PSNR-optimal: ict, flat bands")
     ours_vis = sweep("perceptual: ict chroma_gain=2, hh_gain=2", chroma_gain=2.0, hh_gain=2.0)
 
+    # PCRD: one fine encode, R-D-optimal per-plane truncation to each budget
+    # (codec.rd.truncate — the post-compression-R-D half of EBCOT)
+    print("== wicca_tpu (PCRD: fine encode + rd.truncate) ==", flush=True)
+    from wicca_tpu.codec import rd as _rd
+    from wicca_tpu.codec.transfer import fetch_stream as _fetch
+
+    fine = _fetch(encode(planar, levels=5, spec=QuantSpec(base_step=0.25),
+                         wavelet="bior4.4", color="ict"), force=False)
+    ours_pcrd = []
+    for bpp_t in (4.0, 2.0, 1.0, 0.5, 0.25):
+        small = _rd.truncate(fine, target_bpp=bpp_t)
+        blob = serialize(small)
+        rec = np.moveaxis(np.asarray(decode(small, emit_u8=True)), 0, -1).astype(np.float32)
+        p = float(psnr(rec, x_f))
+        ours_pcrd.append((bpp_of(len(blob), h, w), p))
+        print(f"  target {bpp_t:5.2f}: {ours_pcrd[-1][0]:6.3f} bpp  {p:6.2f} dB", flush=True)
+
     print("== OpenCV JPEG2000 (OpenJPEG) ==", flush=True)
     j2k = []
     for c in (25, 50, 100, 200, 400, 800):
@@ -115,9 +132,9 @@ def run():
         return None
 
     print("== matched-bpp PSNR (dB) ==", flush=True)
-    print("   bpp |  wicca  | wicca-vis | JPEG2000 |  JPEG", flush=True)
+    print("   bpp |  wicca  | wicca-pcrd | wicca-vis | JPEG2000 |  JPEG", flush=True)
     for bpp in (0.5, 1.0, 2.0, 4.0):
-        row = [at(ours, bpp), at(ours_vis, bpp), at(j2k, bpp), at(jpg, bpp)]
+        row = [at(ours, bpp), at(ours_pcrd, bpp), at(ours_vis, bpp), at(j2k, bpp), at(jpg, bpp)]
         cells = " | ".join("     -" if v is None else f"{v:6.2f}" for v in row)
         print(f"  {bpp:4.2f} | {cells}", flush=True)
 

@@ -118,7 +118,8 @@ def test_analyze_reconstruction_mode(workdir):
 
 def test_encode_rate_control_cli(workdir, capsys):
     assert main(["encode", str(workdir / "imgs" / "im2.png"), str(workdir / "im2rc.wct"),
-                 "--levels", "3", "--target-bpp", "1.5", "--codec", "rc"]) == 0
+                 "--levels", "3", "--target-bpp", "1.5", "--codec", "rc",
+                 "--rate-control", "step"]) == 0
     out = capsys.readouterr().out
     assert "rate control" in out
     assert main(["decode", str(workdir / "im2rc.wct"), str(workdir / "rec2rc.png"),

@@ -11,7 +11,17 @@ from wicca_tpu.codec.pipeline import (
     icon_from_stream,
     with_metadata,
 )
-from wicca_tpu.codec.rd import encode_to_bpp, encode_to_psnr, plot_rd_curve, rd_curve, rd_point
+from wicca_tpu.codec.rd import (
+    encode_to_bpp,
+    encode_to_psnr,
+    plot_rd_curve,
+    rd_curve,
+    rd_point,
+)
+from wicca_tpu.codec.rd import allocate as rd_allocate
+from wicca_tpu.codec.rd import measure as rd_measure
+from wicca_tpu.codec.rd import truncate as rd_truncate
+from wicca_tpu.codec.transfer import fetch_stream, put_stream
 from wicca_tpu.codec.roi import apply_roi
 from wicca_tpu.codec.batch import decode_folder, encode_folder
 from wicca_tpu.codec.transcode import drop_finest_levels, transcode

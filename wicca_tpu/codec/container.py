@@ -117,7 +117,14 @@ _MAGIC_V7 = b"WCT7"
 # then the LL plane. Metadata lives inside unit 0, so the CRC trailer
 # protects it; decode never reads it.
 _MAGIC_V8 = b"WCT8"
-_ALL_MAGICS = (b"WCT1", b"WCT2", b"WCT3", b"WCT4", b"WCT5", b"WCT6", b"WCT7", b"WCT8")
+# WCT9 — written when the stream carries an R-D truncation divisor table
+# (CodeStream.band_div from codec.rd.truncate): always the full extended
+# block (BBBB + f32 hh_gain), then u8 per detail plane (levels*3 bytes,
+# fine->coarse) giving the integer divisor its codes were floor-divided by
+# (decode dequantizes at step * div), then the WCT8-style metadata block
+# (n_items may be 0), then the LL plane.
+_MAGIC_V9 = b"WCT9"
+_ALL_MAGICS = (b"WCT1", b"WCT2", b"WCT3", b"WCT4", b"WCT5", b"WCT6", b"WCT7", b"WCT8", b"WCT9")
 _VERSIONS = {m: i + 1 for i, m in enumerate(_ALL_MAGICS)}
 _MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
@@ -286,10 +293,14 @@ def serialize(
     bg_shift = getattr(stream, "bg_shift", 0)
     hh_gain = getattr(stream.spec, "hh_gain", 1.0)
     meta = tuple(getattr(stream, "metadata", ()) or ())
-    v8 = bool(meta)
-    v7 = hh_gain != 1.0 and not v8
-    v6 = (bit_depth != 8 or roi_shift > 0) and not v7 and not v8
-    if v8:
+    band_div = tuple(getattr(stream, "band_div", ()) or ())
+    v9 = any(d != 1 for d in band_div)
+    v8 = bool(meta) and not v9
+    v7 = hh_gain != 1.0 and not v8 and not v9
+    v6 = (bit_depth != 8 or roi_shift > 0) and not v7 and not v8 and not v9
+    if v9:
+        out += _MAGIC_V9
+    elif v8:
         out += _MAGIC_V8
     elif v7:
         out += _MAGIC_V7
@@ -311,11 +322,16 @@ def serialize(
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
-    if v6 or v7 or v8:
+    if v6 or v7 or v8 or v9:
         out += struct.pack("<BBBB", bit_depth, quality_layers, roi_shift, bg_shift)
-    if v7 or v8:
+    if v7 or v8 or v9:
         out += struct.pack("<f", hh_gain)
-    if v8:
+    if v9:
+        divs = band_div + (1,) * (stream.levels * 3 - len(band_div))
+        if len(divs) != stream.levels * 3 or any(not 1 <= d <= 255 for d in divs):
+            raise ValueError(f"band_div must hold levels*3 divisors in [1, 255], got {band_div}")
+        out += bytes(divs)
+    if v8 or v9:
         if len(meta) > 0xFFFF:
             raise ValueError("too many metadata items (max 65535)")
         out += struct.pack("<H", len(meta))
@@ -347,10 +363,10 @@ def serialize(
         if checksums:
             out += _trailer_bytes(units)
         return bytes(out)
-    # WCT5/6/7/8 quality-layered: layer-major sections so any byte prefix
+    # WCT5..9 quality-layered: layer-major sections so any byte prefix
     # covering complete layers decodes at reduced quality (the v6+ extended
     # block already carries n_layers)
-    if not (v6 or v7 or v8):
+    if not (v6 or v7 or v8 or v9):
         out += struct.pack("<B", quality_layers)
     out += ll.tobytes()
     subs = [_split_layers(p, quality_layers) for p in planes]
@@ -450,6 +466,13 @@ def deserialize(
     if version >= 7:
         (hh_gain,) = struct.unpack_from("<f", data, off)
         off += 4
+    band_div: tuple[int, ...] = ()
+    if version >= 9:
+        divs = tuple(data[off : off + levels * 3])
+        off += levels * 3
+        if len(divs) != levels * 3 or any(d < 1 for d in divs):
+            raise ValueError("container divisor table corrupt")
+        band_div = divs if any(d != 1 for d in divs) else ()
     metadata, off = _read_metadata(data, off, version)
     layered = version == 5 or (version >= 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
@@ -656,7 +679,7 @@ def deserialize(
         ll=ll, details=details, spec=spec, levels=levels, orig_shape=(oh, ow),
         wavelet=_WAVELETS_INV[wv], color=_COLORS_INV[color], chroma_gain=float(chroma_gain),
         layout=layout, bit_depth=int(bit_depth), roi_shift=int(roi_shift), bg_shift=int(bg_shift),
-        metadata=metadata,
+        metadata=metadata, band_div=band_div,
     )
 
 
@@ -718,6 +741,10 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
     if version >= 7:
         (hh_gain,) = struct.unpack_from("<f", data, off)
         off += 4
+    band_div = ()
+    if version >= 9:
+        band_div = tuple(data[off : off + levels * 3])
+        off += levels * 3
     try:
         meta_items, off = _read_metadata(data, off, version)
         meta_note = None
@@ -802,7 +829,7 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
         level_gain=level_gain, hh_gain=hh_gain, color=_COLORS_INV[color],
         chroma_gain=float(chroma_gain), layout=layout, ll_shape=(lead, llh, llw),
         quality_layers=n_layers, complete_layers=complete_layers,
-        roi_shift=roi_shift, bg_shift=bg_shift,
+        roi_shift=roi_shift, bg_shift=bg_shift, band_div=list(band_div),
         metadata={k: len(v) for k, v in meta_items},
         metadata_error=meta_note,
         planes=planes, total_bytes=len(data), ll_bytes=ll_bytes,

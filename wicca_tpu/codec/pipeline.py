@@ -59,7 +59,7 @@ def _crop_semantic(ll, details, h_sem: int, w_sem: int, levels: int):
     data_fields=["ll", "details"],
     meta_fields=[
         "spec", "levels", "orig_shape", "wavelet", "color", "chroma_gain",
-        "layout", "bit_depth", "roi_shift", "bg_shift", "metadata",
+        "layout", "bit_depth", "roi_shift", "bg_shift", "metadata", "band_div",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +96,12 @@ class CodeStream:
     # the transform. Attach with codec.with_metadata(); preserved by
     # save/load and transcode; shown by `info`.
     metadata: tuple[tuple[str, bytes], ...] = ()
+    # per-plane integer step divisors from R-D-optimal truncation
+    # (codec.rd.truncate — the post-compression-R-D half of EBCOT): plane i
+    # (fine->coarse, (lh, hl, hh) per level) stores codes floor-divided by
+    # band_div[i], decoded at step * band_div[i]. () = all 1 (no
+    # truncation). Serialized as the WCT9 divisor table.
+    band_div: tuple[int, ...] = ()
 
     def num_bytes(self) -> int:
         n = self.ll.size * self.ll.dtype.itemsize
@@ -272,6 +278,41 @@ def encode(
     )
 
 
+def _scaled_steps(stream: CodeStream, lvl: int) -> tuple[float, float, float]:
+    """Effective dequantization steps for level ``lvl``: the spec's band
+    steps times the plane's R-D truncation divisor (band_div; 1 when absent).
+    Every float-wavelet dequant site routes through this."""
+    s = stream.spec.band_steps(lvl)
+    if not stream.band_div:
+        return s
+    d = stream.band_div[(lvl - 1) * 3 : (lvl - 1) * 3 + 3]
+    return (s[0] * d[0], s[1] * d[1], s[2] * d[2])
+
+
+def _widen_div_int(stream: CodeStream) -> CodeStream:
+    """Integer-wavelet streams with R-D divisors: re-widen codes to bin
+    midpoints (sign * (|c| * d + d // 2), 0 stays 0 — deadzone-style, the
+    same convention as container._widen_codes) so the exact integer lifting
+    inverse applies unchanged. No-op otherwise."""
+    if not stream.band_div or not _is_int_wavelet(stream.wavelet):
+        return stream
+
+    def widen(b, d):
+        if d == 1:
+            return b
+        info = jnp.iinfo(b.dtype)
+        bi = b.astype(jnp.int32)
+        m = jnp.abs(bi)
+        w = jnp.sign(bi) * jnp.minimum(m * d + d // 2, info.max)
+        return w.astype(b.dtype)
+
+    details = tuple(
+        tuple(widen(b, d) for b, d in zip(bands, stream.band_div[lvl * 3 : lvl * 3 + 3]))
+        for lvl, bands in enumerate(stream.details)
+    )
+    return dataclasses.replace(stream, details=details, band_div=())
+
+
 def _normalize_roi(stream: CodeStream) -> CodeStream:
     """Undo maxshift ROI scaling (:mod:`wicca_tpu.codec.roi`): codes with
     ``|c| >= 2**roi_shift`` are ROI (exact ``>> roi_shift``), the rest are
@@ -318,7 +359,7 @@ def decode(stream: CodeStream, emit_u8: bool = False, recon_offset: float = 0.5)
 
 @partial(jax.jit, static_argnames=("emit_u8", "recon_offset"))
 def _decode_jit(stream: CodeStream, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
-    stream = _normalize_roi(stream)
+    stream = _widen_div_int(_normalize_roi(stream))
     # with a color transform the in-kernel u8 emission must wait until after
     # the inverse color rotation (shared tail below)
     u8_in = emit_u8 and stream.color == "none" and stream.bit_depth == 8
@@ -369,7 +410,7 @@ def _decode_jit(stream: CodeStream, emit_u8: bool = False, recon_offset: float =
         for k in reversed(sizes):
             lo = hi - k
             dets = [stream.details[i] for i in range(lo, hi)]
-            steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
+            steps = tuple(_scaled_steps(stream, i + 1) for i in range(lo, hi))
             ch, cw = dets[-1][0].shape[-2], dets[-1][0].shape[-1]
             x = x[..., :ch, :cw]
             x = idwt97_multilevel_dequant_pallas(x, dets, steps, emit_u8=u8_in and lo == 0, filt=filt, recon_offset=recon_offset)
@@ -386,7 +427,7 @@ def _decode_jit(stream: CodeStream, emit_u8: bool = False, recon_offset: float =
         for k in reversed(sizes):
             lo = hi - k  # pass covers levels lo+1..hi
             dets = [stream.details[i] for i in range(lo, hi)]
-            steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
+            steps = tuple(_scaled_steps(stream, i + 1) for i in range(lo, hi))
             from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
 
             ch, cw = detail_spatial_shape(dets[-1][0], k)
@@ -399,7 +440,7 @@ def _decode_jit(stream: CodeStream, emit_u8: bool = False, recon_offset: float =
 
         for lvl in range(stream.levels, 0, -1):
             lh, hl, hh = stream.details[lvl - 1]
-            s_lh, s_hl, s_hh = stream.spec.band_steps(lvl)
+            s_lh, s_hl, s_hh = _scaled_steps(stream, lvl)
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(
                 x,
@@ -554,7 +595,7 @@ def _decode_region_tiled_wide(stream: CodeStream, row0, row1, col0, col1, emit_u
     pass cascade coarse -> fine, each pass on only its tile-aligned window
     (JPEG2000 tile-independence semantics). Bit-identical to the same crop
     of :func:`decode` because every pass sees exactly the encoder's tiles."""
-    stream = _normalize_roi(stream)
+    stream = _widen_div_int(_normalize_roi(stream))
     int53 = stream.wavelet in ("legall5.3", "cdf53")
     filt = "legall5.3" if int53 else ("db2" if stream.wavelet == "db2" else "cdf97")
     x = None
@@ -576,7 +617,7 @@ def _decode_region_tiled_wide(stream: CodeStream, row0, row1, col0, col1, emit_u
         else:
             from wicca_tpu.ops.dwt97_pallas import idwt97_multilevel_dequant_pallas
 
-            steps = tuple(stream.spec.band_steps(i + 1) for i in range(lo, hi))
+            steps = tuple(_scaled_steps(stream, i + 1) for i in range(lo, hi))
             x = idwt97_multilevel_dequant_pallas(ll, dets, steps, filt=filt, recon_offset=recon_offset)
         pa0, pb0 = a0, b0
     x = _undo_color(stream, x)
@@ -737,7 +778,7 @@ def _decode_at_level_jit(stream: CodeStream, target_level: int, emit_u8: bool = 
             if hi <= target_level:
                 break
             use = [stream.details[i] for i in range(max(lo, target_level), hi)]
-            steps = tuple(stream.spec.band_steps(i + 1) for i in range(max(lo, target_level), hi))
+            steps = tuple(_scaled_steps(stream, i + 1) for i in range(max(lo, target_level), hi))
             ch, cw = use[-1][0].shape[-2], use[-1][0].shape[-1]
             x = x[..., :ch, :cw]
             x = idwt97_multilevel_dequant_pallas(x, use, steps, orig_k=k, filt=filt, recon_offset=recon_offset)
@@ -754,7 +795,7 @@ def _decode_at_level_jit(stream: CodeStream, target_level: int, emit_u8: bool = 
         x = stream.ll
         for lvl in range(stream.levels, target_level, -1):
             lh, hl, hh = stream.details[lvl - 1]
-            s_lh, s_hl, s_hh = stream.spec.band_steps(lvl)
+            s_lh, s_hl, s_hh = _scaled_steps(stream, lvl)
             x = x[..., : lh.shape[-2], : lh.shape[-1]]
             x = idwt2_level_lifting(
                 x,
@@ -788,7 +829,7 @@ def _decode_at_level_jit(stream: CodeStream, target_level: int, emit_u8: bool = 
             break
         # partial pass: only the levels above target_level
         use = [stream.details[i] for i in range(max(lo, target_level), hi)]
-        steps = tuple(stream.spec.band_steps(i + 1) for i in range(max(lo, target_level), hi))
+        steps = tuple(_scaled_steps(stream, i + 1) for i in range(max(lo, target_level), hi))
         ch, cw = detail_spatial_shape(use[-1][0], len(use))
         x = x[..., :ch, :cw]
         x = idwt_multilevel_dequant_pallas(x, use, steps, recon_offset=recon_offset)

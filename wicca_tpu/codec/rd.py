@@ -5,6 +5,18 @@ The reference has no notion of rate at all (it stores icons as raw uint8);
 this gives the codec path the standard R-D view. Rate is measured two ways:
 the Shannon order-0 bound of the codes (fast, device-side histograms not
 needed) and, optionally, the actual Rice-coded container size.
+
+The second half of this module is post-compression rate-distortion
+optimization (the PCRD half of EBCOT; VERDICT r3 next-step #2): encode once
+at a fine step, :func:`measure` true per-plane (rate, distortion) tables
+for a ladder of integer re-quantization divisors, :func:`allocate` picks
+per-plane truncation points by Lagrangian convex-hull sweep, and
+:func:`truncate` emits a stream whose WCT9 ``band_div`` table tells the
+decoder to dequantize each plane at ``step * div``. Step-grid search
+(:func:`encode_to_bpp`) meets a budget by re-encoding; PCRD meets it from
+ONE fine encode with per-band-optimal allocation — the low-rate quality
+difference is what JPEG2000's rate control buys (docs/PERFORMANCE.md
+"Compression quality").
 """
 
 from __future__ import annotations
@@ -180,3 +192,262 @@ def plot_rd_curve(points: list[dict], title: str = "Rate-distortion"):
     ax.set_title(title)
     ax.grid(alpha=0.3)
     return fig
+
+
+
+import dataclasses
+import functools
+
+from wicca_tpu.codec.container import _encode_plane
+from wicca_tpu.codec.pipeline import CodeStream
+from wicca_tpu.core.lifting import is_integer_wavelet
+
+# ---------------------------------------------------------------------------
+# Post-compression R-D optimization (PCRD): fine encode -> measured per-plane
+# R-D tables -> Lagrangian truncation via the WCT9 band_div divisor table
+# ---------------------------------------------------------------------------
+
+# divisor ladder: dyadic anchors with 1.5x in-betweens (non-dyadic
+# truncation points cost nothing here — a floor-divide is exact for any
+# integer — and halve the step granularity vs pure bitplanes). 255 caps the
+# ladder: the WCT9 table stores one u8 per plane.
+DIVISORS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 255)
+
+
+@functools.lru_cache(maxsize=16)
+def synthesis_gains(wavelet: str, levels: int) -> tuple[tuple[float, float, float], ...]:
+    """Per-(level, band) synthesis energy gains, fine->coarse: the image-
+    domain SSE produced by a unit coefficient in that band. Measured by
+    impulse through the inverse transform (small toy geometry), so it is
+    exact for any registered filter without tabulated constants
+    (biorthogonal synthesis is not energy-preserving)."""
+    import jax.numpy as jnp
+
+    size = 32 << levels  # room for the widest cascade support
+    gains = []
+    for lvl in range(1, levels + 1):
+        per_band = []
+        for band in range(3):
+            amp = 1.0
+            if wavelet in ("haar",):
+                from wicca_tpu.core.haar import Pyramid, idwt2
+
+                details = []
+                for l2 in range(1, levels + 1):
+                    sh = size >> l2
+                    bands = [jnp.zeros((sh, sh), jnp.float32) for _ in range(3)]
+                    if l2 == lvl:
+                        bands[band] = bands[band].at[sh // 2, sh // 2].set(1.0)
+                    details.append(tuple(bands))
+                pyr = Pyramid(
+                    ll=jnp.zeros((size >> levels, size >> levels), jnp.float32),
+                    details=tuple(details),
+                    wavelet="haar",
+                    orig_shape=(size, size),
+                )
+                img = np.asarray(idwt2(pyr))
+            else:
+                from wicca_tpu.core.lifting import idwt2_level_lifting
+
+                name = {"bior4.4": "cdf97"}.get(wavelet, wavelet)
+                # integer lifting floors its update steps: use a large
+                # integer impulse and renormalize (relative error ~1/amp)
+                integer = is_integer_wavelet(name)
+                amp = 4096.0 if integer else 1.0
+                dt = jnp.int32 if integer else jnp.float32
+                sh = size >> lvl
+                x = jnp.zeros((sh, sh), dt)
+                bands = [jnp.zeros((sh, sh), dt) for _ in range(3)]
+                bands[band] = bands[band].at[sh // 2, sh // 2].set(dt(amp))
+                x = idwt2_level_lifting(x, *bands, name)
+                for l2 in range(lvl - 1, 0, -1):
+                    sh = size >> l2
+                    z = jnp.zeros((sh, sh), dt)
+                    x = idwt2_level_lifting(x, z, z, z, name)
+                img = np.asarray(x)
+            per_band.append(float((img.astype(np.float64) ** 2).sum() / (amp * amp)))
+        gains.append(tuple(per_band))
+    return tuple(gains)
+
+
+def _dequant_np(c: np.ndarray, step: float, offset: float = 0.5) -> np.ndarray:
+    cf = c.astype(np.float64)
+    return np.sign(cf) * (np.abs(cf) + offset) * step
+
+
+@dataclasses.dataclass(frozen=True)
+class PlaneRD:
+    """R-D candidates for one stored plane: parallel (divisor, bytes,
+    image-domain distortion) triples, divisor-ascending."""
+
+    divs: tuple[int, ...]
+    rates: tuple[int, ...]
+    dists: tuple[float, ...]
+
+
+def measure(
+    stream: CodeStream,
+    divisors: tuple[int, ...] = DIVISORS,
+    codec: str = "auto",
+) -> list[PlaneRD]:
+    """Per-plane R-D tables of ``stream`` (host arrays; fetch first on TPU).
+
+    Rate = actual entropy-coded bytes (same coder the container uses), so
+    the allocation optimizes true file size, not an entropy estimate.
+    Distortion is measured against the stream's own fine-step codes — exact
+    for the truncation decision (the fine encode's own quantization error is
+    a constant offset shared by every candidate).
+    """
+    if stream.roi_shift:
+        raise ValueError("R-D truncation of ROI-coded streams is unsupported")
+    if getattr(stream, "band_div", ()):
+        raise ValueError("stream already carries R-D divisors")
+    integer = is_integer_wavelet(stream.wavelet)
+    gains = synthesis_gains(stream.wavelet, stream.levels)
+    out = []
+    for lvl, bands in enumerate(stream.details, start=1):
+        steps = (1.0, 1.0, 1.0) if integer else stream.spec.band_steps(lvl)
+        for band, plane in enumerate(bands):
+            c = np.asarray(plane)
+            q = steps[band]
+            g = gains[lvl - 1][band]
+            mag = np.abs(c.astype(np.int32))
+            sg = np.sign(c.astype(np.int32))
+            # integer streams: codes ARE coefficients (recon offset 0)
+            ref = (
+                mag.astype(np.float64) * sg if integer
+                else _dequant_np(c, q)
+            )
+            divs, rates, dists = [], [], []
+            for d in divisors:
+                if d == 1:
+                    cd = c
+                    rec = ref
+                else:
+                    m2 = mag // d
+                    cd = (sg * m2).astype(c.dtype)
+                    if integer:
+                        rec = np.where(m2 > 0, (m2 * d + d // 2), 0).astype(np.float64) * sg
+                    else:
+                        rec = _dequant_np(cd, q * d)
+                err = ref - rec
+                dists.append(float(g * (err * err).sum()))
+                rates.append(len(_encode_plane(cd, codec)[1]))
+                divs.append(d)
+                if not np.any(cd):
+                    break  # coarser divisors are identical all-zero planes
+            out.append(PlaneRD(tuple(divs), tuple(rates), tuple(dists)))
+    return out
+
+
+def _hull(t: PlaneRD) -> list[tuple[int, int, float]]:
+    """Lower convex hull of one plane's (rate, dist) candidates:
+    [(div, rate, dist)] rate-descending, slopes (dist gained per byte saved)
+    strictly increasing — the only points a Lagrangian sweep can pick."""
+    pts = sorted(zip(t.divs, t.rates, t.dists), key=lambda p: (-p[1], p[2]))
+    mono: list[tuple[int, int, float]] = []
+    for dv, r, d in pts:
+        if mono and r >= mono[-1][1]:
+            continue  # no rate reduction -> dominated (dist is >= by sort)
+        while mono and mono[-1][2] >= d:
+            mono.pop()  # dominated: this point is cheaper AND no worse
+        mono.append((dv, r, d))
+    hull: list[tuple[int, int, float]] = []
+    for p in mono:
+        while len(hull) >= 2:
+            d1, r1, D1 = hull[-2]
+            d2, r2, D2 = hull[-1]
+            s_prev = (D2 - D1) / max(r1 - r2, 1e-12)
+            s_new = (p[2] - D2) / max(r2 - p[1], 1e-12)
+            if s_new <= s_prev:
+                hull.pop()
+            else:
+                break
+        hull.append(p)
+    return hull
+
+
+def allocate(
+    tables: list[PlaneRD], budget_bytes: int
+) -> tuple[tuple[int, ...], int, float]:
+    """Pick per-plane divisors meeting ``budget_bytes`` (entropy bytes of
+    all detail planes) with minimal total distortion: global greedy over the
+    per-plane convex hulls in increasing distortion-per-byte-saved order —
+    the classic Lagrangian sweep. Returns (divisors, total_rate, total_dist)."""
+    import heapq
+
+    hulls = [_hull(t) for t in tables]
+    choice = [0] * len(hulls)
+    rate = sum(h[0][1] for h in hulls)
+    dist = sum(h[0][2] for h in hulls)
+    heap: list[tuple[float, int]] = []  # (slope, plane) candidate moves
+    for i, h in enumerate(hulls):
+        if len(h) > 1:
+            slope = (h[1][2] - h[0][2]) / max(h[0][1] - h[1][1], 1e-12)
+            heapq.heappush(heap, (slope, i))
+    while rate > budget_bytes and heap:
+        _, i = heapq.heappop(heap)
+        h = hulls[i]
+        j = choice[i]
+        rate -= h[j][1] - h[j + 1][1]
+        dist += h[j + 1][2] - h[j][2]
+        choice[i] = j + 1
+        if j + 2 < len(h):
+            slope = (h[j + 2][2] - h[j + 1][2]) / max(h[j + 1][1] - h[j + 2][1], 1e-12)
+            heapq.heappush(heap, (slope, i))
+    return tuple(hulls[i][choice[i]][0] for i in range(len(hulls))), rate, dist
+
+
+def truncate(
+    stream: CodeStream,
+    target_bpp: float | None = None,
+    target_bytes: int | None = None,
+    divisors: tuple[int, ...] = DIVISORS,
+    codec: str = "auto",
+) -> CodeStream:
+    """R-D-optimally truncate a fine-step stream to a byte/bpp budget.
+
+    Encode at a fine step (e.g. ``QuantSpec(base_step=0.5)``), then::
+
+        small = rd.truncate(fetch_stream(stream), target_bpp=1.0)
+        container.save(small, "out.wct")
+
+    The budget covers the whole container (header + LL + entropy planes);
+    the divisor table is stored in the WCT9 header and decode applies
+    ``step * div`` per plane — any prefix of quality still decodes through
+    every existing path (decode / decode_region / decode_at_level).
+    """
+    if (target_bpp is None) == (target_bytes is None):
+        raise ValueError("pass exactly one of target_bpp / target_bytes")
+    h, w = stream.orig_shape
+    if target_bytes is None:
+        target_bytes = int(target_bpp * h * w / 8.0)
+    tables = measure(stream, divisors, codec)
+    # fixed overhead: header + LL bytes + per-plane section metadata -- the
+    # difference between a full serialize and the planes' entropy bytes
+    from wicca_tpu.codec.container import serialize
+
+    base_rate = sum(t.rates[0] for t in tables)
+    overhead = len(serialize(stream, codec=codec)) - base_rate
+    divs, rate, dist = allocate(tables, max(target_bytes - overhead, 0))
+    details = []
+    it = iter(divs)
+    for bands in stream.details:
+        row = []
+        for plane in bands:
+            d = next(it)
+            c = np.asarray(plane)
+            if d > 1:
+                ci = c.astype(np.int32)
+                c = (np.sign(ci) * (np.abs(ci) // d)).astype(c.dtype)
+            row.append(c)
+        details.append(tuple(row))
+    band_div = tuple(int(d) for d in divs)
+    if all(d == 1 for d in band_div):
+        band_div = ()
+    return dataclasses.replace(
+        stream,
+        ll=np.asarray(stream.ll),
+        details=tuple(details),
+        band_div=band_div,
+    )

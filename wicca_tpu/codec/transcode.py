@@ -54,12 +54,15 @@ def drop_finest_levels(stream: CodeStream, r: int) -> CodeStream:
     spec = dataclasses.replace(
         stream.spec, base_step=stream.spec.base_step * stream.spec.level_gain**r
     )
+    band_div = getattr(stream, "band_div", ())
     return dataclasses.replace(
         stream,
         details=stream.details[r:],
         levels=stream.levels - r,
         orig_shape=(-(-h // scale), -(-w // scale)),
         spec=spec,
+        # R-D divisor table indexes planes fine->coarse: drop with the levels
+        band_div=band_div[3 * r :] if band_div else (),
     )
 
 
