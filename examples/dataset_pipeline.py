@@ -48,6 +48,12 @@ def main() -> int:
     ap.add_argument("--models", nargs="+", default=["MobileNetV2"])
     ap.add_argument("--out", default="/tmp/wicca_dataset_run")
     ap.add_argument("--step", type=float, default=1.0)
+    ap.add_argument("--compare", nargs="+", default=["icon"],
+                    choices=["icon", "reconstruction"],
+                    help="harness comparison modes to sweep (the config-3/4 study runs both)")
+    ap.add_argument("--report", default=None,
+                    help="write RESULTS.md + copy summary CSVs + run metrics into this "
+                         "directory (the checked-in round artifact)")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -61,70 +67,133 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # --- stage 1: codec sweep over the dataset -----------------------------
-    from wicca_tpu.codec import encode, decode, save
+    # --- stage 1: batch codec over the dataset (packed-transfer pipeline) --
+    from wicca_tpu.codec import decode_folder, encode_folder
     from wicca_tpu.core.metrics import psnr
     from wicca_tpu.core.quant import QuantSpec
-    from wicca_tpu.data.loader import iter_decoded, list_images, to_planar
+    from wicca_tpu.data.loader import list_images, load_image
 
-    files = list_images(data)
     spec = QuantSpec(base_step=args.step)
-    t0 = time.time()
-    total_px = 0
+    em = encode_folder(data, out / "wct", levels=5, spec=spec, threads=4)
+    dm = decode_folder(out / "wct", out / "decoded", threads=4)
+    files = list_images(data)
     psnrs = []
-    wct_bytes = 0
-    (out / "wct").mkdir(exist_ok=True)
-    for path, img in iter_decoded(files):
-        if img is None:
-            continue
-        x = to_planar(img)
-        stream = encode(x, levels=5, spec=spec)
-        wct_bytes += save(stream, str(out / "wct" / (path.stem + ".wct")))
-        rec = decode(stream)
-        psnrs.append(float(psnr(rec, x.astype(np.float32))))
-        total_px += img.shape[0] * img.shape[1]
-    codec_s = time.time() - t0
-    raw_bytes = total_px * 3
+    for f in files[: min(6, len(files))]:  # PSNR spot-check (host decode cost)
+        a = load_image(f)
+        b = load_image(out / "decoded" / (f.stem + ".png"))
+        psnrs.append(float(psnr(b.astype(np.float32), a.astype(np.float32))))
+    total_px = int(em["megapixels"] * 1e6)
     print(
-        f"codec: {total_px/1e6:.0f} MP in {codec_s:.1f}s = {total_px/1e6/codec_s:.1f} MP/s "
-        f"(incl. host IO+entropy); mean PSNR {np.mean(psnrs):.2f} dB; "
-        f"{raw_bytes} -> {wct_bytes} B ({raw_bytes/wct_bytes:.2f}x)"
+        f"codec: encode {em['mp_per_s']} MP/s, decode {dm['mp_per_s']} MP/s "
+        f"({em['images']} images, {em['megapixels']:.0f} MP); "
+        f"mean PSNR {np.mean(psnrs):.2f} dB; "
+        f"{em['bytes_in']} -> {em['bytes_out']} B ({em['ratio']}x)"
     )
 
-    # --- stage 2: classification comparison sweep --------------------------
+    # --- stage 2: classification comparison sweep (both compare modes) -----
     from wicca_tpu.analysis import compare_summaries
+    from wicca_tpu.config.constants import SIM_BEST_CLASS, SIM_CLASSES_PERC
     from wicca_tpu.harness import ClassifierProcessor
     from wicca_tpu.models import load_models
 
     classifiers = load_models({m: (m, {"shape": (224, 224)}) for m in args.models})
-    proc = ClassifierProcessor(
-        data,
-        transform_depth=tuple(args.depths),
-        interpolation=3,
-        top_classes=5,
-        results_folder=out / "results",
-        log_info=True,
-        batch_size=args.images,
-        resume=True,
-    )
-    t0 = time.time()
-    proc.process_classifiers(classifiers)
-    sweep_s = time.time() - t0
-    comp = compare_summaries(out / "results", list(classifiers), tuple(args.depths))
-    print(comp.to_string(index=False))
+    comps = {}
+    sweep_s = {}
+    for mode in args.compare:
+        res_folder = out / f"results-{mode}"
+        proc = ClassifierProcessor(
+            data,
+            transform_depth=tuple(args.depths),
+            interpolation=3,
+            top_classes=5,
+            results_folder=res_folder,
+            log_info=(mode == args.compare[0]),
+            batch_size=min(args.images, 16),
+            resume=True,
+            compare=mode,
+            codec_spec=spec,
+        )
+        t0 = time.time()
+        proc.process_classifiers(classifiers)
+        sweep_s[mode] = round(time.time() - t0, 1)
+        comps[mode] = compare_summaries(res_folder, list(classifiers), tuple(args.depths))
+        print(f"--- compare='{mode}' ({sweep_s[mode]}s) ---")
+        print(comps[mode].to_string(index=False))
+
     summary = {
         "images": args.images,
         "size": args.size,
-        "codec_MPs": round(total_px / 1e6 / codec_s, 2),
+        "encode_MPs": em["mp_per_s"],
+        "decode_MPs": dm["mp_per_s"],
         "mean_psnr_db": round(float(np.mean(psnrs)), 2),
-        "compression_x": round(raw_bytes / wct_bytes, 2),
-        "sweep_s": round(sweep_s, 1),
+        "compression_x": em["ratio"],
+        "sweep_s": sweep_s,
         "depths": args.depths,
         "models": args.models,
+        "compare_modes": args.compare,
     }
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))
+
+    if args.report:
+        _write_report(Path(args.report), out, summary, comps, args)
     return 0
+
+
+def _write_report(report_dir: Path, out: Path, summary: dict, comps: dict, args) -> None:
+    """Materialize the checked-in round artifact: RESULTS.md + summary CSVs
+    + per-depth run metrics (BASELINE.json configs 3-4 evidence)."""
+    import shutil
+
+    report_dir.mkdir(parents=True, exist_ok=True)
+    lines = [
+        "# Dataset study (BASELINE configs 3-4)",
+        "",
+        f"{summary['images']} synthetic photo-like images at "
+        f"{summary['size']}x{summary['size']} (3 channels), depths "
+        f"{summary['depths']}, models {summary['models']}, run on the "
+        "session's real TPU chip in one command:",
+        "",
+        "```",
+        f"python examples/dataset_pipeline.py --images {args.images} --size {args.size} "
+        f"--depths {' '.join(map(str, args.depths))} --compare {' '.join(args.compare)} "
+        f"--report {report_dir}",
+        "```",
+        "",
+        "## Codec stage (encode_folder / decode_folder, packed tunnel transfer)",
+        "",
+        f"- encode: **{summary['encode_MPs']} MP/s**, decode: **{summary['decode_MPs']} MP/s**",
+        f"- mean roundtrip PSNR {summary['mean_psnr_db']} dB at base_step {args.step}",
+        f"- compression {summary['compression_x']}x (raw -> .wct)",
+        "",
+    ]
+    for mode, comp in comps.items():
+        lines += [
+            f"## Harness sweep — compare='{mode}' ({summary['sweep_s'][mode]} s "
+            f"for depths {summary['depths']})",
+            "",
+            comp.to_markdown(index=False),
+            "",
+        ]
+    lines += [
+        "## Files",
+        "",
+        "- `summary.json` — the structured run record",
+        "- `results-<mode>/depth-<d>/` — reference-layout summary CSVs + run-metrics.json",
+        "",
+    ]
+    (report_dir / "RESULTS.md").write_text("\n".join(lines))
+    shutil.copy(out / "summary.json", report_dir / "summary.json")
+    for mode in comps:
+        for d in args.depths:
+            src = out / f"results-{mode}" / f"depth-{d}"
+            dst = report_dir / f"results-{mode}" / f"depth-{d}"
+            dst.mkdir(parents=True, exist_ok=True)
+            for f in src.glob("*summary*.csv"):
+                shutil.copy(f, dst / f.name)
+            if (src / "run-metrics.json").exists():
+                shutil.copy(src / "run-metrics.json", dst / "run-metrics.json")
+    print(f"report written to {report_dir}")
 
 
 if __name__ == "__main__":
