@@ -133,3 +133,25 @@ def test_keras_random_weight_parity(arch, tmp_path):
     top5_w = np.argsort(-want, axis=-1)[:, :5]
     for g, w in zip(top5_g, top5_w):
         assert len(set(g) & set(w)) >= 4
+
+
+@pytest.mark.parametrize("arch", sorted(cw.SCHEMAS))
+def test_parameter_counts_match_keras_exactly(arch):
+    """Every schema architecture's Flax parameter count must EQUAL the
+    Keras count (VERDICT r3 #4: param-count assertions for the zoo)."""
+    import importlib
+
+    keras_apps = importlib.import_module("tensorflow.keras.applications")
+    kmodel = getattr(keras_apps, arch)(weights=None)
+    # keras counts include non-checkpoint preprocessing state
+    # (EfficientNet's Normalization mean/var); exclude those layers
+    k_count = sum(
+        int(np.prod(w.shape))
+        for layer in kmodel.layers
+        if not any(t in layer.name for t in cw._SKIP_LAYERS)
+        for w in layer.get_weights()
+    )
+    module = getattr(flax_models, arch)()
+    variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
+    f_count = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables))
+    assert f_count == k_count, f"{arch}: flax {f_count:,} vs keras {k_count:,}"

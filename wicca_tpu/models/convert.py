@@ -21,7 +21,20 @@ Layout notes: Keras and Flax both store conv kernels HWIO and dense kernels
 ``params`` (scale, bias) and ``batch_stats`` (mean, var) collections.
 
 TF is NOT required: reading uses h5py only. ``fetch_keras_weights`` uses TF
-when present to download the pretrained H5 (no-op offline).
+when present to download the pretrained H5 (no-op offline). When TF *is*
+present, tests/test_keras_parity.py proves every schema end-to-end: each
+keras.applications model (random init) is dumped in this layout, converted,
+and must reproduce the Keras softmax outputs — plus exact parameter-count
+equality.
+
+Coverage: 6 of the zoo's H5-distributable architectures (VGG16/19,
+ResNet50, MobileNetV2, EfficientNetB0, DenseNet121). NASNetMobile is the
+known residual: the zoo's module follows the paper's published cells
+(param count matches 5.3M), but the hosted checkpoint's layer graph is
+keras/applications/nasnet.py's specific factorized-reduction wiring — a
+schema needs a checkpoint-faithful reimplementation of those cells first.
+The parity harness above is the tool to validate that port when it lands;
+until then NASNet runs with deterministic-random or user-supplied weights.
 """
 
 from __future__ import annotations
