@@ -160,11 +160,17 @@ def _write_report(report_dir: Path, out: Path, summary: dict, comps: dict, args)
         f"--report {report_dir}",
         "```",
         "",
-        "## Codec stage (encode_folder / decode_folder, packed tunnel transfer)",
+        "## Codec stage (encode_folder / decode_folder)",
         "",
-        f"- encode: **{summary['encode_MPs']} MP/s**, decode: **{summary['decode_MPs']} MP/s**",
+        f"- encode: **{summary['encode_MPs']} MP/s**, decode: **{summary['decode_MPs']} MP/s**"
+        f" (packed tunnel transfer: {__import__('wicca_tpu.codec.transfer', fromlist=['enabled']).enabled()})",
         f"- mean roundtrip PSNR {summary['mean_psnr_db']} dB at base_step {args.step}",
         f"- compression {summary['compression_x']}x (raw -> .wct)",
+        "",
+        "Caveat: models are deterministic-random unless WICCA_TPU_WEIGHTS",
+        "points at converted ImageNet checkpoints — similarity numbers with",
+        "random weights measure pipeline correctness and the depth trend,",
+        "not the reference's pretrained-quality table.",
         "",
     ]
     for mode, comp in comps.items():
