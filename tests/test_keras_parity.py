@@ -35,7 +35,12 @@ _PRE = {
     "MobileNetV2": "mobilenet_v2",
     "EfficientNetB0": "efficientnet",
     "DenseNet121": "densenet",
+    "NASNetMobile": "nasnet",
 }
+
+# schema name -> flax module attribute (NASNet's convertible variant is the
+# checkpoint-faithful nasnet_keras graph, not the paper-cell module)
+_FLAX_ATTR = {"NASNetMobile": "NASNetMobileKeras"}
 
 
 # Keras 3 renamed a couple of layers relative to the hosted legacy H5
@@ -75,11 +80,10 @@ def test_keras_random_weight_parity(arch, tmp_path):
         f"tensorflow.keras.applications.{_PRE[arch]}"), "preprocess_input")
     tf.keras.utils.set_random_seed(0)
     kmodel = getattr(keras_apps, arch)(weights=None)
-    if arch == "EfficientNetB0":
-        # random-init EfficientNet collapses to near-uniform logits (deep
-        # silu+SE stack attenuates) — diversify every BN's stats so real
-        # graph deviations surface in the comparison instead of hiding in
-        # the noise floor
+    if arch in ("EfficientNetB0", "NASNetMobile"):
+        # random-init deep stacks collapse to near-uniform logits —
+        # diversify every BN's stats so real graph deviations surface in
+        # the comparison instead of hiding in the noise floor
         brng = np.random.default_rng(1)
         for layer in kmodel.layers:
             ws = layer.get_weights()
@@ -99,7 +103,7 @@ def test_keras_random_weight_parity(arch, tmp_path):
     # configured VGG dataclass -> dtype via dataclasses.replace.
     import dataclasses as _dc
 
-    module = _dc.replace(getattr(flax_models, arch)(), dtype=jnp.float32)
+    module = _dc.replace(getattr(flax_models, _FLAX_ATTR.get(arch, arch))(), dtype=jnp.float32)
     variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
     converted, report = cw.map_weights(arch, cw.read_keras_h5(h5), variables)
     assert report["unexpected_keras_layers"] == []
@@ -151,7 +155,7 @@ def test_parameter_counts_match_keras_exactly(arch):
         if not any(t in layer.name for t in cw._SKIP_LAYERS)
         for w in layer.get_weights()
     )
-    module = getattr(flax_models, arch)()
+    module = getattr(flax_models, _FLAX_ATTR.get(arch, arch))()
     variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
     f_count = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables))
     assert f_count == k_count, f"{arch}: flax {f_count:,} vs keras {k_count:,}"

@@ -45,7 +45,7 @@ def main(argv) -> int:
         model = getattr(mod, cls_name)(weights="imagenet")
         # keras exposes preprocess_input next to each factory
         from tensorflow.keras.applications import (  # noqa: F401
-            densenet, efficientnet, mobilenet_v2, resnet, vgg16, vgg19,
+            densenet, efficientnet, mobilenet_v2, nasnet, resnet, vgg16, vgg19,
         )
         pre = {
             "VGG16": vgg16.preprocess_input,
@@ -54,6 +54,7 @@ def main(argv) -> int:
             "MobileNetV2": mobilenet_v2.preprocess_input,
             "EfficientNetB0": efficientnet.preprocess_input,
             "DenseNet121": densenet.preprocess_input,
+            "NASNetMobile": nasnet.preprocess_input,
         }[arch]
         logits = model(pre(batch.copy())).numpy()
         store[f"logits_{arch}"] = logits

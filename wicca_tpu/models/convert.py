@@ -27,14 +27,14 @@ keras.applications model (random init) is dumped in this layout, converted,
 and must reproduce the Keras softmax outputs — plus exact parameter-count
 equality.
 
-Coverage: 6 of the zoo's H5-distributable architectures (VGG16/19,
-ResNet50, MobileNetV2, EfficientNetB0, DenseNet121). NASNetMobile is the
-known residual: the zoo's module follows the paper's published cells
-(param count matches 5.3M), but the hosted checkpoint's layer graph is
-keras/applications/nasnet.py's specific factorized-reduction wiring — a
-schema needs a checkpoint-faithful reimplementation of those cells first.
-The parity harness above is the tool to validate that port when it lands;
-until then NASNet runs with deterministic-random or user-supplied weights.
+Coverage: all 7 H5-distributable zoo architectures (VGG16/19, ResNet50,
+MobileNetV2, EfficientNetB0, DenseNet121, NASNetMobile). NASNet converts
+through :class:`wicca_tpu.models.nasnet_keras.NASNetMobileKeras` — a
+checkpoint-faithful reimplementation of the hosted graph (factorized
+adjust blocks, correct_pad, TF pooling semantics) whose layer names EQUAL
+the Keras names, so its schema is a mechanical shape-tracked replay; the
+registry's "NASNetMobile" uses it, while the paper-cell variant stays
+importable as flax_models.NASNetMobile.
 """
 
 from __future__ import annotations
@@ -49,6 +49,8 @@ CONV = "conv"        # [kernel] or [kernel, bias], HWIO
 DWCONV = "dwconv"    # [kernel] (kh, kw, C, 1) -> flax (kh, kw, 1, C)
 BN = "bn"            # [gamma, beta, moving_mean, moving_variance]
 DENSE = "dense"      # [kernel, bias], (in, out)
+SEPCONV = "sepconv"  # keras SeparableConv2D: [dw (kh,kw,C,1), pw (1,1,C,F)]
+                     # -> flax submodule {Conv_0: depthwise, Conv_1: pointwise}
 
 # Keras layers carrying state that is not model weights (EfficientNet embeds
 # its preprocessing); skipped with a note.
@@ -199,6 +201,71 @@ def _schema_densenet121() -> list[tuple[str, tuple, str]]:
     return out
 
 
+def _schema_nasnet_mobile() -> list[tuple[str, tuple, str]]:
+    """NASNet-A mobile (4 @ 1056): replay the cell wiring of
+    models/nasnet_keras.NASNetMobileKeras with (H, C) shape tracking — the
+    adjust-block variant per cell depends on geometry, exactly like the
+    Keras functional graph. Flax layer names EQUAL Keras layer names, so
+    every entry maps (name, (name,), kind)."""
+    out: list[tuple[str, tuple, str]] = []
+
+    def sep(block_id):
+        for i in (1, 2):
+            out.append((f"separable_conv_{i}_{block_id}", (f"separable_conv_{i}_{block_id}",), SEPCONV))
+            out.append((f"separable_conv_{i}_bn_{block_id}", (f"separable_conv_{i}_bn_{block_id}",), BN))
+
+    def simple(name, kind):
+        out.append((name, (name,), kind))
+
+    def adjust(p, ip, filters, bid):
+        # p/ip are (H, C) or None; returns adjusted p shape
+        if p is None:
+            return ip
+        if p[0] != ip[0]:
+            simple(f"adjust_conv_1_{bid}", CONV)
+            simple(f"adjust_conv_2_{bid}", CONV)
+            simple(f"adjust_bn_{bid}", BN)
+            return (ip[0], 2 * (filters // 2))
+        if p[1] != filters:
+            simple(f"adjust_conv_projection_{bid}", CONV)
+            simple(f"adjust_bn_{bid}", BN)
+            return (p[0], filters)
+        return p
+
+    def normal(ip, p, filters, bid):
+        p = adjust(p, ip, filters, bid)
+        simple(f"normal_conv_1_{bid}", CONV)
+        simple(f"normal_bn_1_{bid}", BN)
+        for b in ("left1", "right1", "left2", "right2", "left5"):
+            sep(f"normal_{b}_{bid}")
+        return (ip[0], 6 * filters), ip
+
+    def reduction(ip, p, filters, bid):
+        p = adjust(p, ip, filters, bid)
+        simple(f"reduction_conv_1_{bid}", CONV)
+        simple(f"reduction_bn_1_{bid}", BN)
+        for b in ("left1", "right1", "right2", "right3", "left4"):
+            sep(f"reduction_{b}_{bid}")
+        return (-(-ip[0] // 2), 4 * filters), ip
+
+    f, nb = 44, 4
+    simple("stem_conv1", CONV)
+    simple("stem_bn1", BN)
+    x, p = (111, 32), None
+    x, p = reduction(x, p, f // 4, "stem_1")
+    x, p = reduction(x, p, f // 2, "stem_2")
+    for i in range(nb):
+        x, p = normal(x, p, f, f"{i}")
+    x, p = reduction(x, p, f * 2, f"reduce_{nb}")
+    for i in range(nb):
+        x, p = normal(x, p, f * 2, f"{nb + i + 1}")
+    x, p = reduction(x, p, f * 4, f"reduce_{2 * nb}")
+    for i in range(nb):
+        x, p = normal(x, p, f * 4, f"{2 * nb + i + 1}")
+    simple("predictions", DENSE)
+    return out
+
+
 SCHEMAS = {
     "VGG16": lambda: _schema_vgg((2, 2, 3, 3, 3)),
     "VGG19": lambda: _schema_vgg((2, 2, 4, 4, 4)),
@@ -206,6 +273,7 @@ SCHEMAS = {
     "MobileNetV2": _schema_mobilenet_v2,
     "EfficientNetB0": _schema_efficientnet_b0,
     "DenseNet121": _schema_densenet121,
+    "NASNetMobile": _schema_nasnet_mobile,
 }
 
 # keras.applications download identifiers for fetch_keras_weights
@@ -216,6 +284,7 @@ _KERAS_FACTORIES = {
     "MobileNetV2": ("tensorflow.keras.applications", "MobileNetV2"),
     "EfficientNetB0": ("tensorflow.keras.applications", "EfficientNetB0"),
     "DenseNet121": ("tensorflow.keras.applications", "DenseNet121"),
+    "NASNetMobile": ("tensorflow.keras.applications", "NASNetMobile"),
 }
 
 
@@ -307,6 +376,14 @@ def map_weights(arch: str, keras_weights: dict[str, list[np.ndarray]], variables
             _set(stats, fpath, "var", var)
             assigned.add(("params", *fpath))
             assigned.add(("batch_stats", *fpath))
+        elif kind == SEPCONV:
+            if len(arrs) != 2:
+                raise ValueError(f"{kname}: expected [depthwise, pointwise], got {len(arrs)} arrays")
+            dw, pw = arrs
+            _set(params, (*fpath, "Conv_0"), "kernel", np.transpose(dw, (0, 1, 3, 2)))
+            _set(params, (*fpath, "Conv_1"), "kernel", pw)
+            assigned.add(("params", *fpath, "Conv_0"))
+            assigned.add(("params", *fpath, "Conv_1"))
         elif kind in (CONV, DENSE, DWCONV):
             kernel = arrs[0]
             if kind == DWCONV:

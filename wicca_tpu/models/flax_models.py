@@ -504,3 +504,7 @@ def ViTS16():
 def ViTTiny16():
     """ViT-Tiny/16 (5.7M params) — the quick transformer for smoke runs."""
     return ViT(dim=192, depth=12, heads=3)
+
+
+# checkpoint-faithful NASNet (hosted-weights graph; see models/nasnet_keras.py)
+from wicca_tpu.models.nasnet_keras import NASNetMobileKeras  # noqa: E402

@@ -80,7 +80,10 @@ _ARCHITECTURES: dict[str, tuple[Any, Any]] = {
     "VGG16": (flax_models.VGG16, preprocess_caffe),
     "VGG19": (flax_models.VGG19, preprocess_caffe),
     "DenseNet121": (flax_models.DenseNet121, preprocess_torch),
-    "NASNetMobile": (flax_models.NASNetMobile, preprocess_minus1_1),
+    # checkpoint-faithful graph (nasnet_keras) so converted hosted weights
+    # load; the paper-faithful variant stays importable as
+    # flax_models.NASNetMobile
+    "NASNetMobile": (flax_models.NASNetMobileKeras, preprocess_minus1_1),
     "ViTS16": (flax_models.ViTS16, preprocess_minus1_1),
     "ViTTiny16": (flax_models.ViTTiny16, preprocess_minus1_1),
 }
