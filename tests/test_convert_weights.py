@@ -25,7 +25,7 @@ h5py = pytest.importorskip("h5py")
 
 
 def _template(arch):
-    module = getattr(flax_models, arch)()
+    module = cw.flax_module_for(arch)()
     return module, module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
 
 
@@ -42,6 +42,13 @@ def _keras_arrays(variables, fpath, kind, rng):
         c = node["scale"].shape[0]
         return [rng.normal(size=(c,)).astype(np.float32) for _ in range(3)] + [
             rng.uniform(0.5, 2.0, size=(c,)).astype(np.float32)
+        ]
+    if kind == cw.SEPCONV:
+        dw = np.asarray(node["Conv_0"]["kernel"])  # (kh, kw, 1, C)
+        pw = np.asarray(node["Conv_1"]["kernel"])  # (1, 1, C, F)
+        return [
+            rng.normal(size=np.transpose(dw, (0, 1, 3, 2)).shape).astype(np.float32),
+            rng.normal(size=pw.shape).astype(np.float32),
         ]
     kernel = np.asarray(node["kernel"])
     if kind == cw.DWCONV:
@@ -100,6 +107,11 @@ def test_convert_roundtrip_every_leaf(arch, tmp_path):
             np.testing.assert_array_equal(np.asarray(node["bias"]), arrs[1])
             np.testing.assert_array_equal(np.asarray(stats["mean"]), arrs[2])
             np.testing.assert_array_equal(np.asarray(stats["var"]), arrs[3])
+        elif kind == cw.SEPCONV:
+            np.testing.assert_array_equal(
+                np.asarray(node["Conv_0"]["kernel"]), np.transpose(arrs[0], (0, 1, 3, 2))
+            )
+            np.testing.assert_array_equal(np.asarray(node["Conv_1"]["kernel"]), arrs[1])
         else:
             want = arrs[0]
             if kind == cw.DWCONV:

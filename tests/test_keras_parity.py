@@ -38,9 +38,7 @@ _PRE = {
     "NASNetMobile": "nasnet",
 }
 
-# schema name -> flax module attribute (NASNet's convertible variant is the
-# checkpoint-faithful nasnet_keras graph, not the paper-cell module)
-_FLAX_ATTR = {"NASNetMobile": "NASNetMobileKeras"}
+
 
 
 # Keras 3 renamed a couple of layers relative to the hosted legacy H5
@@ -103,7 +101,7 @@ def test_keras_random_weight_parity(arch, tmp_path):
     # configured VGG dataclass -> dtype via dataclasses.replace.
     import dataclasses as _dc
 
-    module = _dc.replace(getattr(flax_models, _FLAX_ATTR.get(arch, arch))(), dtype=jnp.float32)
+    module = _dc.replace(cw.flax_module_for(arch)(), dtype=jnp.float32)
     variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
     converted, report = cw.map_weights(arch, cw.read_keras_h5(h5), variables)
     assert report["unexpected_keras_layers"] == []
@@ -155,7 +153,7 @@ def test_parameter_counts_match_keras_exactly(arch):
         if not any(t in layer.name for t in cw._SKIP_LAYERS)
         for w in layer.get_weights()
     )
-    module = getattr(flax_models, _FLAX_ATTR.get(arch, arch))()
+    module = cw.flax_module_for(arch)()
     variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
     f_count = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables))
     assert f_count == k_count, f"{arch}: flax {f_count:,} vs keras {k_count:,}"

@@ -292,6 +292,20 @@ def convertible_architectures() -> tuple[str, ...]:
     return tuple(SCHEMAS)
 
 
+# schema name -> flax_models attribute, where the convertible module differs
+# from the default-named one (NASNet: the checkpoint-faithful graph converts;
+# the paper-cell variant keeps the plain name)
+_FLAX_MODULES = {"NASNetMobile": "NASNetMobileKeras"}
+
+
+def flax_module_for(arch: str):
+    """The Flax module class/factory whose parameter tree the ``arch``
+    schema targets (and that the registry instantiates for ``arch``)."""
+    from wicca_tpu.models import flax_models
+
+    return getattr(flax_models, _FLAX_MODULES.get(arch, arch))
+
+
 # ---------------------------------------------------------------------------
 # H5 reading (h5py only; handles weights-only and full-model files)
 # ---------------------------------------------------------------------------
@@ -440,9 +454,7 @@ def convert_h5(arch: str, h5_path: str | Path, out_dir: str | Path) -> Path:
     import jax.numpy as jnp
     from flax import serialization
 
-    from wicca_tpu.models import flax_models
-
-    module = getattr(flax_models, arch)()
+    module = flax_module_for(arch)()
     variables = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32))
     keras_weights = read_keras_h5(h5_path)
     tree, report = map_weights(arch, keras_weights, variables)
