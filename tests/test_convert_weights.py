@@ -85,7 +85,20 @@ def _build_synthetic(arch, tmp_path, extra_layers=(), root=None):
     return module, variables, layers, h5
 
 
-@pytest.mark.parametrize("arch", sorted(cw.SCHEMAS))
+# Big-graph init/apply costs 45-200s each on this 2-core CPU; the default
+# lane keeps two representative architectures and the rest run in the slow
+# lane — conversion for ALL seven is covered more strongly by the
+# tf_parity activation-parity lane anyway.
+_FAST_ROUNDTRIP = {"MobileNetV2", "ResNet50"}
+
+
+@pytest.mark.parametrize(
+    "arch",
+    [
+        a if a in _FAST_ROUNDTRIP else pytest.param(a, marks=pytest.mark.slow)
+        for a in sorted(cw.SCHEMAS)
+    ],
+)
 def test_convert_roundtrip_every_leaf(arch, tmp_path):
     """Every flax leaf gets the schema-designated keras array (values exact,
     depthwise transposed, BN split across params/batch_stats)."""

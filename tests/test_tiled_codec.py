@@ -52,6 +52,8 @@ def test_tiled_encode_haar_lossy_cross_decode(mesh):
     )
 
 
+@pytest.mark.slow  # ~90s (per-lifting-step halo compile); the dryrun's
+# bior4.4 mesh step covers the same path in the default gate
 def test_tiled_encode_wide_wavelet_global_layout(mesh):
     x = _img((1, 64, 128), 2)
     spec = QuantSpec(base_step=1.0)
