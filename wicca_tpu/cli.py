@@ -133,7 +133,8 @@ def _cmd_encode(args) -> int:
         stream = with_metadata(stream, kv)
         note += f"  [metadata: {', '.join(sorted(kv))}]"
     nbytes = save(stream, args.output, threads=args.threads, codec=args.codec,
-                  quality_layers=args.quality_layers)
+                  quality_layers=args.quality_layers,
+                  ll_codec=args.ll_codec, ll_step=args.ll_step)
     raw = int(image.nbytes)
     print(f"{args.input}: {raw} B -> {nbytes} B ({raw / nbytes:.2f}x) at depth {args.levels}{note}")
     return 0
@@ -383,6 +384,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--hh-gain", type=float, default=1.0,
                    help="visual weighting: quantize the diagonal (HH) band this much "
                         "coarser (CSF is least sensitive there; try 1.5-2)")
+    e.add_argument("--ll-codec", default="raw", choices=["raw", "rice", "quant"],
+                   help="LL-plane storage (WCT10): 'rice' = lossless Rice for integer LLs, "
+                        "'quant' = midtread-quantize float LLs at --ll-step (raw float32 LL "
+                        "is a rate floor at shallow depths)")
+    e.add_argument("--ll-step", type=float, default=0.125,
+                   help="LL quantization step for --ll-codec quant (default 0.125)")
     e.add_argument("--target-bpp", type=float, default=None,
                    help="rate control: meet this bits-per-pixel budget (overrides --step)")
     e.add_argument("--rate-control", default="pcrd", choices=["pcrd", "step"],

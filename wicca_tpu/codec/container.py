@@ -124,7 +124,16 @@ _MAGIC_V8 = b"WCT8"
 # (decode dequantizes at step * div), then the WCT8-style metadata block
 # (n_items may be 0), then the LL plane.
 _MAGIC_V9 = b"WCT9"
-_ALL_MAGICS = (b"WCT1", b"WCT2", b"WCT3", b"WCT4", b"WCT5", b"WCT6", b"WCT7", b"WCT8", b"WCT9")
+# WCT10 — written when the LL plane is stored coded instead of raw
+# (serialize(..., ll_codec=...)): always the full extended block + divisor
+# table + metadata block, then the LL section
+#   u8 ll_mode (1 = lossless Rice of the int32 LL, 2 = midtread-quantized
+#   at f32 ll_step then Rice) | f32 ll_step | u32 nbytes | blob
+# instead of the raw LL bytes. The raw-LL default (<= WCT9) is unchanged —
+# LL coding is JPEG2000 parity for shallow-depth streams, where raw
+# float32 LL is a rate floor (levels=3: 1.5 bpp of LL alone).
+_MAGIC_V10 = b"WC10"
+_ALL_MAGICS = (b"WCT1", b"WCT2", b"WCT3", b"WCT4", b"WCT5", b"WCT6", b"WCT7", b"WCT8", b"WCT9", b"WC10")
 _VERSIONS = {m: i + 1 for i, m in enumerate(_ALL_MAGICS)}
 _MAGIC_V3 = b"WCT3"  # still readable: no per-plane codec byte (all Rice)
 _MAGIC_V2 = b"WCT2"  # still readable: no layout byte (all wide streams tiled)
@@ -264,6 +273,8 @@ def serialize(
     codec: str = "auto",
     quality_layers: int = 1,
     checksums: bool = True,
+    ll_codec: str = "raw",
+    ll_step: float = 0.125,
 ) -> bytes:
     """CodeStream -> container bytes (detail planes entropy-coded in parallel).
 
@@ -278,13 +289,28 @@ def serialize(
 
     ``checksums`` (default) appends the integrity trailer (module docstring):
     ~12 bytes/plane; old readers ignore it, new readers verify and can
-    contain corruption to single detail planes."""
+    contain corruption to single detail planes.
+
+    ``ll_codec`` stores the LL plane coded instead of raw (WCT10):
+    'rice' = lossless Rice of an integer LL (integer wavelets / hi-depth —
+    pure size win, bit-exact); 'quant' = midtread quantization of a float
+    LL at ``ll_step`` then Rice (sub-visible at the default 1/8 step; the
+    raw float32 LL is otherwise a rate floor of ``4 * channels / 4**levels``
+    bytes/pixel). Default 'raw' keeps the <= WCT9 layout byte-for-byte."""
     if codec not in ("auto", "rice", "rc"):
         raise ValueError(f"codec must be auto|rice|rc, got {codec!r}")
     if not 1 <= quality_layers <= 15:
         raise ValueError("quality_layers must be in [1, 15]")
+    if ll_codec not in ("raw", "rice", "quant"):
+        raise ValueError(f"ll_codec must be raw|rice|quant, got {ll_codec!r}")
     ll_dtype = np.int32 if _WAVELETS[stream.wavelet] in _INT_WAVELET_IDS else np.float32
     ll = np.asarray(stream.ll, dtype=ll_dtype)
+    if ll_codec == "rice" and ll_dtype != np.int32:
+        raise ValueError("ll_codec='rice' is lossless for INTEGER LL planes; use 'quant' for float LL")
+    if ll_codec == "quant" and ll_dtype != np.float32:
+        raise ValueError("ll_codec='quant' quantizes FLOAT LL planes; integer LL is lossless with 'rice'")
+    if ll_codec == "quant" and not ll_step > 0:
+        raise ValueError("ll_step must be positive")
     lead = ll.shape[0] if ll.ndim == 3 else 1
     planes = [np.asarray(b) for bands in stream.details for b in bands]
     out = bytearray()
@@ -294,11 +320,14 @@ def serialize(
     hh_gain = getattr(stream.spec, "hh_gain", 1.0)
     meta = tuple(getattr(stream, "metadata", ()) or ())
     band_div = tuple(getattr(stream, "band_div", ()) or ())
-    v9 = any(d != 1 for d in band_div)
-    v8 = bool(meta) and not v9
-    v7 = hh_gain != 1.0 and not v8 and not v9
-    v6 = (bit_depth != 8 or roi_shift > 0) and not v7 and not v8 and not v9
-    if v9:
+    v10 = ll_codec != "raw"
+    v9 = any(d != 1 for d in band_div) and not v10
+    v8 = bool(meta) and not v9 and not v10
+    v7 = hh_gain != 1.0 and not v8 and not v9 and not v10
+    v6 = (bit_depth != 8 or roi_shift > 0) and not v7 and not v8 and not v9 and not v10
+    if v10:
+        out += _MAGIC_V10
+    elif v9:
         out += _MAGIC_V9
     elif v8:
         out += _MAGIC_V8
@@ -322,16 +351,16 @@ def serialize(
     )
     out += struct.pack("<Bf", _COLORS[stream.color], stream.chroma_gain)
     out += struct.pack("<B", _LAYOUTS[stream.layout])
-    if v6 or v7 or v8 or v9:
+    if v6 or v7 or v8 or v9 or v10:
         out += struct.pack("<BBBB", bit_depth, quality_layers, roi_shift, bg_shift)
-    if v7 or v8 or v9:
+    if v7 or v8 or v9 or v10:
         out += struct.pack("<f", hh_gain)
-    if v9:
+    if v9 or v10:
         divs = band_div + (1,) * (stream.levels * 3 - len(band_div))
         if len(divs) != stream.levels * 3 or any(not 1 <= d <= 255 for d in divs):
             raise ValueError(f"band_div must hold levels*3 divisors in [1, 255], got {band_div}")
         out += bytes(divs)
-    if v8 or v9:
+    if v8 or v9 or v10:
         if len(meta) > 0xFFFF:
             raise ValueError("too many metadata items (max 65535)")
         out += struct.pack("<H", len(meta))
@@ -348,10 +377,22 @@ def serialize(
     def _close_unit(start: int) -> None:
         units.append((len(out), zlib.crc32(bytes(out[start:]))))
 
+    def _ll_section() -> bytes:
+        if not v10:
+            return ll.tobytes()
+        if ll_codec == "rice":
+            blob = rice_encode(ll.astype(np.int32))
+            mode, step = 1, 0.0
+        else:
+            codes = np.round(ll / ll_step).astype(np.int32)
+            blob = rice_encode(codes)
+            mode, step = 2, ll_step
+        return struct.pack("<BfI", mode, step, len(blob)) + blob
+
     if quality_layers == 1:
         with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
             encoded = list(pool.map(lambda p: _encode_plane(p, codec), planes))
-        out += ll.tobytes()
+        out += _ll_section()
         _close_unit(0)
         for plane, (codec_id, data) in zip(planes, encoded):
             start = len(out)
@@ -366,9 +407,9 @@ def serialize(
     # WCT5..9 quality-layered: layer-major sections so any byte prefix
     # covering complete layers decodes at reduced quality (the v6+ extended
     # block already carries n_layers)
-    if not (v6 or v7 or v8 or v9):
+    if not (v6 or v7 or v8 or v9 or v10):
         out += struct.pack("<B", quality_layers)
-    out += ll.tobytes()
+    out += _ll_section()
     subs = [_split_layers(p, quality_layers) for p in planes]
     flat = [subs[i][q] for q in range(quality_layers) for i in range(len(planes))]
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
@@ -476,8 +517,19 @@ def deserialize(
     metadata, off = _read_metadata(data, off, version)
     layered = version == 5 or (version >= 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
-    ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
-    off += ll.nbytes
+    if version >= 10:
+        ll_mode, ll_step, ll_nbytes = struct.unpack_from("<BfI", data, off)
+        off += struct.calcsize("<BfI")
+        if ll_mode not in (1, 2):
+            raise ValueError(f"unknown LL coding mode {ll_mode}")
+        codes = rice_decode(data[off : off + ll_nbytes], lead * llh * llw, np.int32)
+        codes = codes.reshape(lead, llh, llw)
+        ll = codes if ll_mode == 1 else (codes.astype(np.float32) * ll_step)
+        ll = ll.astype(ll_dtype)
+        off += ll_nbytes
+    else:
+        ll = np.frombuffer(data, dtype=ll_dtype, count=lead * llh * llw, offset=off).reshape(lead, llh, llw)
+        off += ll.nbytes
     n_planes = levels * 3
     n_units = 1 + n_planes * (n_layers if layered else 1)
     trailer = _read_trailer(data, n_units)
@@ -755,8 +807,13 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
         off = len(data)  # geometry unrecoverable past this point
     layered = version == 5 or (version >= 6 and n_layers > 1)
     ll_dtype = np.int32 if wv in _INT_WAVELET_IDS else np.float32
-    ll_bytes = lead * llh * llw * np.dtype(ll_dtype).itemsize
-    off += ll_bytes
+    ll_mode, ll_step = 0, 0.0  # 0 = raw
+    if version >= 10:
+        ll_mode, ll_step, ll_bytes = struct.unpack_from("<BfI", data, off)
+        off += struct.calcsize("<BfI") + ll_bytes
+    else:
+        ll_bytes = lead * llh * llw * np.dtype(ll_dtype).itemsize
+        off += ll_bytes
     n_planes = levels * 3
     n_units = 1 + n_planes * (n_layers if layered else 1)
 
@@ -830,6 +887,7 @@ def inspect(data: bytes | str, verify: bool = True) -> dict:
         chroma_gain=float(chroma_gain), layout=layout, ll_shape=(lead, llh, llw),
         quality_layers=n_layers, complete_layers=complete_layers,
         roi_shift=roi_shift, bg_shift=bg_shift, band_div=list(band_div),
+        ll_mode={0: "raw", 1: "rice", 2: "quant"}.get(ll_mode, ll_mode), ll_step=ll_step,
         metadata={k: len(v) for k, v in meta_items},
         metadata_error=meta_note,
         planes=planes, total_bytes=len(data), ll_bytes=ll_bytes,
@@ -847,8 +905,11 @@ def save(
     codec: str = "auto",
     quality_layers: int = 1,
     checksums: bool = True,
+    ll_codec: str = "raw",
+    ll_step: float = 0.125,
 ) -> int:
-    data = serialize(stream, threads, codec, quality_layers, checksums=checksums)
+    data = serialize(stream, threads, codec, quality_layers, checksums=checksums,
+                     ll_codec=ll_codec, ll_step=ll_step)
     with open(path, "wb") as f:
         f.write(data)
     return len(data)
