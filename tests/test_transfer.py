@@ -241,3 +241,38 @@ def test_native_matches_numpy(monkeypatch):
     monkeypatch.undo()
     packed_np = T.fetch_stream(s, force=True)
     _planes_equal(packed_native, packed_np)
+
+
+def test_sticky_kc_selection_reuses_valid_tuples():
+    """Frames of one folder must reuse the first frame's (k, C) tuple when
+    still valid (each distinct tuple is a fresh remote pack compile), and
+    recompute when a plane's escape tail outgrows its cap."""
+    T._STICKY_KCS.clear()
+
+    def smooth(seed):
+        base = np.tile(np.arange(192, dtype=np.float32), (160, 1))
+        n = np.random.default_rng(seed).normal(0, 2.0, base.shape)
+        return np.clip(base + n, 0, 255).astype(np.uint8)[None].repeat(3, 0)
+
+    a = encode(smooth(20), levels=2, spec=QuantSpec(base_step=1.0))
+    pa = T._stream_planes(a)
+    meta = T._plane_meta([(p.shape, np.dtype(p.dtype).name) for p in pa])
+    stats_a = np.asarray(T._stats_fn(meta)(pa))
+    kcs_a = T._choose_kcs_sticky(stats_a, meta)
+    # a "next frame" whose tails are slightly SMALLER: a fresh choice could
+    # pick tighter caps, but the sticky tuple is still valid -> reused
+    stats_b = np.maximum(stats_a - 1, 0)
+    kcs_b = T._choose_kcs_sticky(stats_b, meta)
+    assert kcs_b == kcs_a  # valid tuple reused verbatim (no recompile)
+
+    # force invalidity: a dense stream whose tails exceed the sticky caps
+    dense = encode(
+        np.random.default_rng(5).integers(0, 256, (3, 160, 192), np.uint8),
+        levels=2, spec=QuantSpec(base_step=0.05),
+    )
+    pd = T._stream_planes(dense)
+    kcs_d = T._choose_kcs_sticky(np.asarray(T._stats_fn(meta)(pd)), meta)
+    assert kcs_d != kcs_a  # recomputed (and the recomputed tuple is valid)
+    # and packed fetch stays bit-exact under the sticky policy
+    _planes_equal(T.fetch_stream(dense, force=False), T.fetch_stream(dense, force=True))
+    T._STICKY_KCS.clear()

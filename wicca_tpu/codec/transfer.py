@@ -329,6 +329,37 @@ def _choose_kc(maxseg_tails: np.ndarray, m: _Plane) -> tuple[int, int]:
     return best[0], best[1]
 
 
+# sticky (k, C) tuples per plane geometry: every distinct tuple is a fresh
+# pack-jit compile (minutes through a remote tunnel), and frames of one
+# folder differ slightly in content — so once a tuple compiles, keep
+# reusing it for later frames whenever it is still VALID (each plane's
+# worst-segment tail fits its cap at that k), even if a marginally smaller
+# tuple exists. Typically one compile per (folder, shape).
+_STICKY_KCS: dict[tuple, tuple] = {}
+
+
+def _choose_kcs_sticky(stats: np.ndarray, meta: tuple) -> tuple:
+    key = meta  # plane geometry tuple (hashable dataclasses)
+    prev = _STICKY_KCS.get(key)
+    offs = np.cumsum([0] + [m.width - 1 for m in meta])
+    if prev is not None:
+        ok = True
+        for (k, cap), m, off in zip(prev, meta, offs):
+            if k == m.width:
+                continue  # raw passthrough is always valid
+            if int(stats[off + k - 1]) > cap:
+                ok = False
+                break
+        if ok:
+            return prev
+    kcs = tuple(
+        _choose_kc(stats[off : off + m.width - 1], m)
+        for m, off in zip(meta, offs)
+    )
+    _STICKY_KCS[key] = kcs
+    return kcs
+
+
 def _ll_nbytes(ll_shape, ll_dtype) -> int:
     return int(np.prod(ll_shape)) * np.dtype(ll_dtype).itemsize
 
@@ -403,11 +434,7 @@ def fetch_stream(stream, force: bool | None = None):
     planes = _stream_planes(stream)
     meta = _plane_meta([(p.shape, np.dtype(p.dtype).name) for p in planes])
     stats = np.asarray(_stats_fn(meta)(planes))
-    kcs, off = [], 0
-    for m in meta:
-        kcs.append(_choose_kc(stats[off : off + m.width - 1], m))
-        off += m.width - 1
-    kcs = tuple(kcs)
+    kcs = _choose_kcs_sticky(stats, meta)
     ll_bytes = _ll_nbytes(stream.ll.shape, stream.ll.dtype)
     raw_bytes = sum(m.n * (m.width // 8) for m in meta) + ll_bytes
     if packed_nbytes(meta, kcs, ll_bytes) >= raw_bytes:
