@@ -123,3 +123,36 @@ def test_cli_ll_codec(tmp_path, capsys):
     a = cv2.imread(str(src))
     assert main(["decode", str(wr), str(tmp_path / "rl.png")]) == 0
     np.testing.assert_array_equal(cv2.imread(str(tmp_path / "rl.png")), a)
+
+
+def test_transcode_and_batch_ll_codec(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from wicca_tpu.codec.batch import decode_folder, encode_folder
+    from wicca_tpu.codec.transcode import transcode
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(src / f"f{i}.png"), np.moveaxis(photo(seed=10 + i), 0, -1)[..., ::-1])
+    out = tmp_path / "wct"
+    m = encode_folder(src, out, levels=3, wavelet="legall5.3", color="rct",
+                      ll_codec="rice")
+    for p in sorted(out.glob("*.wct")):
+        assert p.read_bytes()[:4] == b"WC10"
+    rec = tmp_path / "rec"
+    decode_folder(out, rec)
+    for i in range(2):  # lossless end to end through the coded LL
+        a = cv2.imread(str(src / f"f{i}.png"))
+        b = cv2.imread(str(rec / f"f{i}.png"))
+        np.testing.assert_array_equal(a, b)
+
+    # transcode: retro-pack the LL of an existing raw-LL archive losslessly
+    raw_path = tmp_path / "raw.wct"
+    from wicca_tpu.codec.container import load, save
+
+    s = encode(photo(seed=12), levels=3, wavelet="legall5.3")
+    save(s, str(raw_path))
+    m = transcode(raw_path, tmp_path / "packed.wct", ll_codec="rice")
+    assert m["bytes_out"] < m["bytes_in"]
+    back = load(str(tmp_path / "packed.wct"))
+    np.testing.assert_array_equal(np.asarray(back.ll), np.asarray(s.ll))

@@ -47,6 +47,8 @@ def encode_folder(
     keep_alpha: bool = False,
     resume: bool = False,
     metadata: dict[str, bytes | str] | None = None,
+    ll_codec: str = "raw",
+    ll_step: float = 0.125,
 ) -> dict:
     """Encode every image in ``in_dir`` to ``<out_dir>/<stem>.wct``.
 
@@ -110,7 +112,8 @@ def encode_folder(
             # ~2x fewer tunnel bytes, bit-exact) and then entropy-codes +
             # writes; disk bytes are identical to a plain fetch
             writes.append(pool.submit(
-                lambda s, d: save_wct(fetch_stream(s), d, threads, codec, quality_layers),
+                lambda s, d: save_wct(fetch_stream(s), d, threads, codec, quality_layers,
+                                      ll_codec=ll_codec, ll_step=ll_step),
                 stream, str(dst),
             ))
             n_ok += 1

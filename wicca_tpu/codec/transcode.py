@@ -76,13 +76,20 @@ def transcode(
     threads: int = 8,
     allow_truncated: bool = False,
     on_error: str = "raise",
+    ll_codec: str = "raw",
+    ll_step: float = 0.125,
 ) -> dict:
     """Rewrite ``src`` -> ``dst`` applying layer truncation, level drops, and
     entropy-codec/layering changes. Returns size metrics.
 
     ``quality_layers=None`` (default) preserves the source's SNR layering
     (after ``max_layers`` truncation), so a codec-only rewrite of a layered
-    stream stays progressive; pass an int to re-layer explicitly."""
+    stream stays progressive; pass an int to re-layer explicitly.
+
+    ``ll_codec`` rewrites the LL storage (WCT10): 'rice' losslessly packs
+    integer LLs of existing archives; 'quant' quantizes float LLs at
+    ``ll_step``. A loaded WCT10 stream re-saves raw unless asked again
+    (the in-memory LL is already materialized)."""
     from wicca_tpu.codec.container import load, peek_layers, save
 
     src, dst = Path(src), Path(dst)
@@ -94,7 +101,7 @@ def transcode(
                   allow_truncated=allow_truncated, on_error=on_error)
     stream = drop_finest_levels(stream, drop_levels)
     bytes_out = save(stream, str(dst), threads=threads, codec=codec,
-                     quality_layers=quality_layers)
+                     quality_layers=quality_layers, ll_codec=ll_codec, ll_step=ll_step)
     bytes_in = src.stat().st_size
     return {
         "bytes_in": bytes_in,
