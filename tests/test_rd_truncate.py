@@ -166,6 +166,32 @@ def test_integer_wavelet_truncation_bounded_error():
     assert len(blob) < full * 0.6
     back = C.deserialize(blob)
     np.testing.assert_array_equal(np.asarray(decode(back, emit_u8=True)), rec)
+    # progressive decode must widen band_div codes exactly like decode():
+    # manually widening (sign * (|c|*d + d//2)) and dropping band_div must
+    # give a bit-identical decode_at_level result (ADVICE r4 high).
+    widened = dataclasses.replace(
+        small,
+        details=tuple(
+            tuple(
+                (
+                    np.sign(p.astype(np.int32))
+                    * np.minimum(
+                        np.abs(p.astype(np.int32)) * d + d // 2,
+                        np.iinfo(p.dtype).max,
+                    )
+                ).astype(p.dtype)
+                if d != 1
+                else p
+                for p, d in zip(bands, small.band_div[lvl * 3 : lvl * 3 + 3])
+            )
+            for lvl, bands in enumerate(small.details)
+        ),
+        band_div=(),
+    )
+    for tl in (1, 2):
+        got = np.asarray(decode_at_level(small, tl, emit_u8=True))
+        want = np.asarray(decode_at_level(widened, tl, emit_u8=True))
+        np.testing.assert_array_equal(got, want)
 
 
 def test_truncate_rejects_roi_and_double_truncation():

@@ -717,7 +717,7 @@ def decode_at_level(stream: CodeStream, target_level: int, emit_u8: bool = False
 def _decode_at_level_jit(stream: CodeStream, target_level: int, emit_u8: bool = False, recon_offset: float = 0.5) -> jax.Array:
     if target_level == 0:
         return _decode_jit(stream, emit_u8=emit_u8, recon_offset=recon_offset)
-    stream = _normalize_roi(stream)
+    stream = _widen_div_int(_normalize_roi(stream))
     h, w = stream.orig_shape
     out_h = -(-h // (1 << target_level))
     out_w = -(-w // (1 << target_level))

@@ -304,6 +304,14 @@ def measure(
         raise ValueError("stream already carries R-D divisors")
     integer = is_integer_wavelet(stream.wavelet)
     gains = synthesis_gains(stream.wavelet, stream.levels)
+    # per-channel image-domain weights: ICT chroma planes are re-amplified
+    # by chroma_gain at decode (_undo_color), so a unit of chroma coefficient
+    # SSE is chroma_gain^2 units of image SSE (the ICT rotation itself is
+    # treated as orthonormal — an approximation shared by JPEG2000 encoders)
+    chan_w: np.ndarray | None = None
+    if stream.color == "ict" and stream.chroma_gain != 1.0:
+        g2 = float(stream.chroma_gain) ** 2
+        chan_w = np.array([1.0, g2, g2], np.float64)
     out = []
     for lvl, bands in enumerate(stream.details, start=1):
         steps = (1.0, 1.0, 1.0) if integer else stream.spec.band_steps(lvl)
@@ -331,7 +339,13 @@ def measure(
                     else:
                         rec = _dequant_np(cd, q * d)
                 err = ref - rec
-                dists.append(float(g * (err * err).sum()))
+                if chan_w is not None and err.ndim >= 3 and err.shape[-3] >= 3:
+                    w = np.ones(err.shape[-3], np.float64)
+                    w[:3] = chan_w
+                    sse = float((err * err).sum(axis=(-2, -1)) @ w)
+                else:
+                    sse = float((err * err).sum())
+                dists.append(g * sse)
                 rates.append(len(_encode_plane(cd, codec)[1]))
                 divs.append(d)
                 if not np.any(cd):
@@ -428,7 +442,11 @@ def truncate(
     from wicca_tpu.codec.container import serialize
 
     base_rate = sum(t.rates[0] for t in tables)
-    overhead = len(serialize(stream, codec=codec)) - base_rate
+    # the pre-truncation serialize emits WCT7/8 without the WCT9 divisor
+    # table; add its levels*3 bytes so the budget is an upper bound.
+    # (quality-layer section headers added by save(..., quality_layers>1)
+    # are deliberately excluded — layering happens after truncation.)
+    overhead = len(serialize(stream, codec=codec)) - base_rate + stream.levels * 3
     divs, rate, dist = allocate(tables, max(target_bytes - overhead, 0))
     details = []
     it = iter(divs)
