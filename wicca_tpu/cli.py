@@ -171,7 +171,7 @@ def _cmd_decode_batch(args) -> int:
 
     metrics = decode_folder(
         args.input_dir, args.output_dir, threads=args.threads, on_error=args.on_error,
-        at_level=args.at_level, resume=args.resume,
+        at_level=args.at_level, resume=args.resume, path=args.path,
     )
     print(json.dumps(metrics))
     return 0
@@ -466,6 +466,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="bulk previews: decode every stream at 1/2**R resolution")
     db.add_argument("--resume", action="store_true",
                     help="skip streams whose output image already exists")
+    db.add_argument("--path", default="auto", choices=["auto", "host", "device"],
+                    help="reconstruction backend: auto = measured-bandwidth cost model")
     db.set_defaults(fn=_cmd_decode_batch)
 
     d = sub.add_parser("decode", help="decode a .wct codestream to an image")

@@ -134,6 +134,39 @@ def encode_folder(
     }
 
 
+def _decode_route(stream, at_level: int, path: str) -> str:
+    """Host-vs-device routing for one stream, by measured bandwidths.
+
+    Device cost = (coefficient upload + reconstruction D2H) / measured link
+    bandwidth (:func:`wicca_tpu.codec.transfer.link_bandwidth`, probed once
+    per process); host cost = megapixels / measured host IDWT throughput
+    (:func:`wicca_tpu.codec.host_decode.measured_mp_per_s`). On a tunnel at
+    tens of MB/s the host wins by ~30x for full-resolution decodes; on a
+    PCIe-attached chip (GB/s) or CPU backend the device path wins. ``path``
+    forces: 'host' | 'device' | 'auto' (WICCA_TPU_DECODE_PATH overrides)."""
+    import os
+
+    from wicca_tpu.codec import host_decode, transfer
+
+    path = os.environ.get("WICCA_TPU_DECODE_PATH", path).lower()
+    if path not in ("host", "device", "auto"):
+        raise ValueError(f"decode path must be host|device|auto, got {path!r}")
+    if at_level or not host_decode.supported(stream):
+        return "device"  # no host path for progressive previews (yet)
+    if path != "auto":
+        return path
+    link = transfer.link_bandwidth(probe=True)
+    if link is None or link != link or link == float("inf"):
+        return "device"
+    h, w = stream.orig_shape
+    nchan = int(np.prod(stream.ll.shape[:-2])) or 1
+    up = stream.num_bytes() * (0.65 if transfer.enabled() else 1.0)
+    down = h * w * nchan * (1 if stream.bit_depth <= 8 else 2)
+    device_s = (up + down) / link + 0.002  # + per-dispatch overhead
+    host_s = (h * w / 1e6) / host_decode.measured_mp_per_s()
+    return "host" if host_s < device_s else "device"
+
+
 def decode_folder(
     in_dir: str | Path,
     out_dir: str | Path,
@@ -143,6 +176,7 @@ def decode_folder(
     prefetch: int | None = None,
     at_level: int = 0,
     resume: bool = False,
+    path: str = "auto",
 ) -> dict:
     """Decode every ``.wct`` in ``in_dir`` to ``<out_dir>/<stem><suffix>``
     (native dtype: uint8, or uint16 for hi-depth streams).
@@ -150,7 +184,12 @@ def decode_folder(
     ``at_level=r`` reconstructs at 1/2**r resolution from the coarse
     subbands only (resolution scalability) — the fast path for bulk
     thumbnail/preview extraction from an archive of streams. ``resume``
-    skips streams whose output image already exists."""
+    skips streams whose output image already exists. ``path`` picks the
+    reconstruction backend per stream (:func:`_decode_route`): 'auto'
+    compares the measured link bandwidth against the measured host IDWT
+    rate, so tunnel-attached chips decode on the host (bit-identical,
+    tests/test_host_decode.py) while PCIe-attached chips keep the device
+    path."""
     import cv2
 
     in_dir, out_dir = Path(in_dir), Path(out_dir)
@@ -181,12 +220,22 @@ def decode_folder(
         writes: list = []
         it = iter(paths)
 
+        from wicca_tpu.codec import host_decode
+
+        n_host = 0
+
         def _load_and_stage(p):
-            # entropy decode runs plane-parallel inside load_wct; the packed
-            # upload (codec/transfer.put_stream) then lands the planes on
-            # device from this pool thread, overlapping host pack work with
-            # the main thread's decode dispatch/fetch of earlier frames
-            return put_stream(load_wct(str(p), threads, None, False, on_error))
+            # entropy decode runs plane-parallel inside load_wct; the routed
+            # device frames then ride the packed upload
+            # (codec/transfer.put_stream) from this pool thread, overlapping
+            # host pack work with the main thread's decode dispatch/fetch of
+            # earlier frames. Host-routed frames stay on the host — the
+            # whole point is never to cross the link.
+            s = load_wct(str(p), threads, None, False, on_error)
+            route = _decode_route(s, at_level, path)
+            # load_wct returns host (numpy) planes: host-routed frames are
+            # already where they need to be
+            return (route, s if route == "host" else put_stream(s))
 
         def _fill():
             for p in it:
@@ -196,19 +245,22 @@ def decode_folder(
 
         _fill()
         while loads:
-            path, fut = loads.pop(0)
+            src, fut = loads.pop(0)
             _fill()
-            stream = fut.result()
-            if at_level:
+            route, stream = fut.result()
+            if route == "host":
+                rec = host_decode.host_decode(stream)
+                n_host += 1
+            elif at_level:
                 from wicca_tpu.codec.pipeline import decode_at_level
 
                 rec = fetch_array_parallel(decode_at_level(stream, min(at_level, stream.levels), emit_u8=True))
             else:
                 rec = fetch_array_parallel(decode(stream, emit_u8=True))
-            writes.append(pool.submit(_write, rec, out_dir / (path.stem + suffix)))
+            writes.append(pool.submit(_write, rec, out_dir / (src.stem + suffix)))
             n += 1
             mp_total += stream.orig_shape[0] * stream.orig_shape[1] / 1e6
-            bytes_in += path.stat().st_size
+            bytes_in += src.stat().st_size
         bytes_out = sum(w.result() for w in writes)
     seconds = time.perf_counter() - t0
     return {
@@ -219,4 +271,6 @@ def decode_folder(
         "mp_per_s": round(mp_total / max(seconds, 1e-9), 2),
         "bytes_in": bytes_in,
         "bytes_out": bytes_out,
+        "host_decoded": n_host,
+        "device_decoded": n - n_host,
     }

@@ -1,0 +1,361 @@
+"""Host-side (CPU/numpy + native C++) decode of CodeStreams.
+
+Why this exists: on this environment the TPU sits behind a ~30-55 MB/s
+tunnel, so a depth-5 decode of a 53 MP frame costs ~3 ms of device compute
+but ~3-6 s of D2H for the ~160 MB uint8 reconstruction — the decode
+direction of the folder pipeline is transfer-bound even with the packed
+upload (docs/PERFORMANCE.md "End-to-end folder pipeline"; VERDICT r4 next
+step #1). The inverse DWT is a handful of streaming elementwise passes, so
+a 2-core host beats the link by an order of magnitude. This module decodes
+entirely on the host; :func:`wicca_tpu.codec.batch.decode_folder` picks
+host vs device per frame with a measured-bandwidth cost model
+(:func:`wicca_tpu.codec.transfer.link_bandwidth`).
+
+Exactness contract (pinned by tests/test_host_decode.py):
+
+* ``haar`` (float path) — BIT-IDENTICAL to ``decode(stream, emit_u8=True)``.
+  The synthesis replicates the fused kernel's float32 association exactly
+  (ops/dwt_pallas._idwt_multi_kernel): dequantize ``(q + off*sign(q)) *
+  step``, butterflies ``(ll ± lh) * 2.0`` / ``* 0.5``, interleave — all
+  plain float32 adds and exact power-of-two scalings, so numpy and the TPU
+  VPU round identically (the same argument that makes the device kernels
+  bit-exact against tests/oracle.py).
+* ``haar_int`` — exact (integer S-transform lifting, pair-local, so tiled
+  and global layouts agree; mirrors core/lifting.haar_int_inv1d).
+* integer wavelets with ``layout='global'`` (hi-depth streams) — exact
+  (mirrors core/lifting idwt2_level_lifting with replicate-edge shifts).
+* ``rct`` color — exact (integer). ``ict`` — matches the device to within
+  float32 fusion differences (XLA may emit FMAs for the 3x3 rotation); the
+  uint8 output can differ by at most 1 gray level on bin-edge pixels, the
+  same variation JPEG2000 part-1 permits between conforming decoders.
+
+Tiled wide wavelets (legall5.3/cdf97/db2 with layout='tiled') are decoded
+by the tile-local Pallas kernels only; :func:`supported` returns False and
+callers fall back to the device path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from wicca_tpu.core.lifting import is_integer_wavelet
+from wicca_tpu.native.rice import _load as _native_lib
+
+_F = np.float32
+_NTHREADS = max(1, os.cpu_count() or 1)
+
+
+def _use_native() -> bool:
+    return not os.environ.get("WICCA_TPU_NO_NATIVE_IDWT") and _native_lib() is not None
+
+
+def _strides(a: np.ndarray) -> tuple[int, int, int]:
+    """(channel, row) element strides + data pointer for a 3-D array."""
+    it = a.dtype.itemsize
+    return a.ctypes.data, a.strides[-3] // it, a.strides[-2] // it
+
+
+def _native_haar_f32_level(x, lh, hl, hh, steps, offset, emit_u8):
+    lib = _native_lib()
+    c, h, w = x.shape
+    out = np.empty((c, h * 2, w * 2), np.uint8 if emit_u8 else _F)
+    xp, xcs, xrs = _strides(x)
+    args = [ctypes.c_void_p(xp), xrs, xcs]
+    for b in (lh, hl, hh):
+        bp, bcs, brs = _strides(b)
+        args += [ctypes.c_void_p(bp), brs, bcs]
+    op, ocs, ors = _strides(out)
+    lib.wicca_idwt_haar_f32_level(
+        *args, int(lh.dtype == np.int16),
+        _F(steps[0]), _F(steps[1]), _F(steps[2]), _F(offset),
+        c, h, w, ctypes.c_void_p(op), ors, ocs, int(emit_u8), _NTHREADS,
+    )
+    return out
+
+
+def _native_haar_int_level(x, lh, hl, hh, emit_u8):
+    lib = _native_lib()
+    c, h, w = x.shape
+    out = np.empty((c, h * 2, w * 2), np.uint8 if emit_u8 else np.int32)
+    xp, xcs, xrs = _strides(x)
+    args = [ctypes.c_void_p(xp), xrs, xcs]
+    for b in (lh, hl, hh):
+        bp, bcs, brs = _strides(b)
+        args += [ctypes.c_void_p(bp), brs, bcs]
+    op, ocs, ors = _strides(out)
+    lib.wicca_idwt_haar_int_level(
+        *args, int(lh.dtype == np.int16),
+        c, h, w, ctypes.c_void_p(op), ors, ocs, int(emit_u8), _NTHREADS,
+    )
+    return out
+
+
+def _deq(q: np.ndarray, step: float, offset: float) -> np.ndarray:
+    """Deadzone dequantize, float32, kernel association:
+    (q + offset*sign(q)) * step."""
+    qf = q.astype(_F)
+    return (qf + _F(offset) * np.sign(qf)) * _F(step)
+
+
+def _fit(b: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Crop/zero-pad the last two dims to exactly (h, w) — mirrors the
+    kernel's _pad_dim_to + slice (padding regions synthesize to zeros and
+    are cropped by the caller, so values on the valid region are equal)."""
+    bh, bw = b.shape[-2], b.shape[-1]
+    if bh >= h and bw >= w:
+        return b[..., :h, :w]
+    out = np.zeros(b.shape[:-2] + (h, w), b.dtype)
+    out[..., : min(bh, h), : min(bw, w)] = b[..., : min(bh, h), : min(bw, w)]
+    return out
+
+
+def _haar_level_f32(ll: np.ndarray, lh: np.ndarray, hl: np.ndarray, hh: np.ndarray) -> np.ndarray:
+    """One float Haar synthesis level, bit-identical association to
+    ops/dwt_pallas._idwt_multi_kernel (all scalings are exact powers of
+    two; adds are IEEE float32 in the same order)."""
+    two, half = _F(2.0), _F(0.5)
+    rs_e = (ll + lh) * two
+    rs_o = (ll - lh) * two
+    rd_e = (hl + hh) * two
+    rd_o = (hl - hh) * two
+    h2, w2 = ll.shape[-2], ll.shape[-1]
+    out = np.empty(ll.shape[:-2] + (h2 * 2, w2 * 2), _F)
+    out[..., 0::2, 0::2] = (rs_e + rd_e) * half
+    out[..., 0::2, 1::2] = (rs_o + rd_o) * half
+    out[..., 1::2, 0::2] = (rs_e - rd_e) * half
+    out[..., 1::2, 1::2] = (rs_o - rd_o) * half
+    return out
+
+
+# ---------------------------------------------------------------------------
+# integer lifting (numpy mirror of core/lifting; >> on int32 = floor div)
+# ---------------------------------------------------------------------------
+
+
+def _shift_np(a: np.ndarray, by: int) -> np.ndarray:
+    """Replicate-edge neighbor shift along the last axis (mirror of
+    core/lifting._shift)."""
+    if by == 0:
+        return a
+    out = np.empty_like(a)
+    if by > 0:
+        out[..., :-by] = a[..., by:]
+        out[..., -by:] = a[..., -1:]
+    else:
+        out[..., -by:] = a[..., :by]
+        out[..., : -by] = a[..., :1]
+    return out
+
+
+def _interleave_np(e: np.ndarray, o: np.ndarray) -> np.ndarray:
+    out = np.empty(e.shape[:-1] + (e.shape[-1] * 2,), e.dtype)
+    out[..., 0::2] = e
+    out[..., 1::2] = o
+    return out
+
+
+def _haar_int_inv1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    e = s - (d >> 1)
+    return _interleave_np(e, d + e)
+
+
+def _legall53_inv1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    e = s - ((_shift_np(d, -1) + d + 2) >> 2)
+    o = d + ((e + _shift_np(e, +1)) >> 1)
+    return _interleave_np(e, o)
+
+
+_INT_INV1D = {"haar_int": _haar_int_inv1d, "legall5.3": _legall53_inv1d, "cdf53": _legall53_inv1d}
+
+
+def _rows_inv(inv, s, d):
+    return inv(s.swapaxes(-1, -2), d.swapaxes(-1, -2)).swapaxes(-1, -2)
+
+
+def _int_level_inv(ll, lh, hl, hh, wavelet: str) -> np.ndarray:
+    inv = _INT_INV1D[wavelet]
+    lo = _rows_inv(inv, ll, hl)
+    hi = _rows_inv(inv, lh, hh)
+    return inv(lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# stream-level helpers (numpy mirrors of codec/pipeline internals)
+# ---------------------------------------------------------------------------
+
+
+def _widen_div_int_np(stream):
+    if not stream.band_div or not is_integer_wavelet(stream.wavelet):
+        return stream.details
+    out = []
+    for lvl, bands in enumerate(stream.details):
+        row = []
+        for b, d in zip(bands, stream.band_div[lvl * 3 : lvl * 3 + 3]):
+            b = np.asarray(b)
+            if d != 1:
+                info = np.iinfo(b.dtype)
+                bi = b.astype(np.int64)
+                m = np.abs(bi)
+                b = (np.sign(bi) * np.minimum(m * d + d // 2, info.max)).astype(b.dtype)
+            row.append(b)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+def _undo_color_np(stream, x: np.ndarray) -> np.ndarray:
+    if stream.color == "none":
+        return x
+    yuv, extra = (x[..., :3, :, :], x[..., 3:, :, :]) if x.shape[-3] == 4 else (x, None)
+    if stream.color == "rct":
+        v = yuv.astype(np.int32)
+        y, u, w = v[..., 0, :, :], v[..., 1, :, :], v[..., 2, :, :]
+        g = y - ((u + w) >> 2)
+        rgb = np.stack([w + g, g, u + g], axis=-3)
+    else:  # ict (BT.601), float32 — see module docstring on FMA tolerance
+        yuv = yuv.astype(_F)
+        if stream.chroma_gain != 1.0:
+            yuv = yuv * np.array([1.0, stream.chroma_gain, stream.chroma_gain], _F).reshape(3, 1, 1)
+        y, cb, cr = yuv[..., 0, :, :], yuv[..., 1, :, :], yuv[..., 2, :, :]
+        rgb = np.stack(
+            [
+                _F(1.0) * y + _F(0.0) * cb + _F(1.402) * cr,
+                _F(1.0) * y + _F(-0.344136) * cb + _F(-0.714136) * cr,
+                _F(1.0) * y + _F(1.772) * cb + _F(0.0) * cr,
+            ],
+            axis=-3,
+        )
+    return rgb if extra is None else np.concatenate([rgb, extra.astype(rgb.dtype)], axis=-3)
+
+
+def _emit_native_np(stream, x: np.ndarray) -> np.ndarray:
+    peak = (1 << stream.bit_depth) - 1
+    dt = np.uint8 if stream.bit_depth <= 8 else np.uint16
+    if x.dtype.kind == "f":
+        # kernel order: clip -> int32 (truncate toward zero) -> unsigned
+        return np.clip(x, 0, peak).astype(np.int32).astype(dt)
+    return np.clip(x, 0, peak).astype(dt)
+
+
+# measured host decode throughput (MP/s), EMA over real host_decode calls —
+# the other half of decode_folder's cost model. The prior is deliberately
+# conservative (a cold first frame pays page faults + band copies).
+_host_mps: float | None = None
+_MPS_ALPHA = 0.4
+_MPS_PRIOR = 40.0
+
+
+def measured_mp_per_s() -> float:
+    return _host_mps if _host_mps is not None else _MPS_PRIOR
+
+
+def _record_mps(mp: float, seconds: float) -> None:
+    global _host_mps
+    if seconds <= 0 or mp < 0.25:
+        return
+    r = mp / seconds
+    _host_mps = r if _host_mps is None else (_MPS_ALPHA * r + (1 - _MPS_ALPHA) * _host_mps)
+
+
+def supported(stream) -> bool:
+    """True if :func:`host_decode` reproduces ``decode`` for this stream.
+    Tiled wide wavelets and ROI streams route to the device kernels."""
+    if stream.roi_shift:
+        return False
+    if stream.wavelet in ("haar", "haar_int"):
+        return True
+    return is_integer_wavelet(stream.wavelet) and stream.layout == "global"
+
+
+def _pass_sizes(levels: int) -> list[int]:
+    sizes, lvl = [], 0
+    while lvl < levels:
+        sizes.append(min(3, levels - lvl))
+        lvl += sizes[-1]
+    return sizes
+
+
+def _scaled_steps_np(stream, lvl: int) -> tuple[float, float, float]:
+    s = stream.spec.band_steps(lvl)
+    if not stream.band_div:
+        return s
+    d = stream.band_div[(lvl - 1) * 3 : (lvl - 1) * 3 + 3]
+    return (s[0] * d[0], s[1] * d[1], s[2] * d[2])
+
+
+def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5) -> np.ndarray:
+    """Decode ``stream`` on the host. See module docstring for the
+    exactness contract; raises ValueError when :func:`supported` is False."""
+    import time
+
+    if not supported(stream):
+        raise ValueError(f"no host decode path for wavelet={stream.wavelet!r} layout={stream.layout!r}")
+    t0 = time.perf_counter()
+    from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
+
+    ll = np.asarray(stream.ll)
+    lead = ll.shape[:-2]
+    native = _use_native()
+    # native in-kernel u8 emission (skips one full-size pass) is valid only
+    # when no color rotation follows and the sample type is uint8
+    u8_in = emit_u8 and stream.color == "none" and stream.bit_depth == 8
+
+    def _3d(a):
+        return a.reshape((-1,) + a.shape[-2:])
+
+    if stream.wavelet == "haar":
+        details = stream.details
+        x = _3d(ll).astype(_F)
+        sizes = _pass_sizes(stream.levels)
+        hi = stream.levels
+        for k in reversed(sizes):
+            lo = hi - k
+            dets = [details[i] for i in range(lo, hi)]
+            steps = [_scaled_steps_np(stream, i + 1) for i in range(lo, hi)]
+            ch, cw = detail_spatial_shape(np.asarray(dets[-1][0]), k)
+            x = x[..., :ch, :cw]
+            h0, w0 = x.shape[-2], x.shape[-1]
+            for idx in range(k):  # coarse -> fine within the pass
+                lvl = k - idx
+                m = 1 << idx
+                st = steps[lvl - 1]
+                bands = [_fit(_3d(np.asarray(b)), h0 * m, w0 * m) for b in dets[lvl - 1]]
+                last = lo == 0 and idx == k - 1
+                if native and all(b.dtype in (np.int8, np.int16) for b in bands) and bands[0].dtype == bands[1].dtype == bands[2].dtype:
+                    x = _native_haar_f32_level(x, *bands, st, recon_offset, u8_in and last)
+                else:
+                    lh, hl, hh = (_deq(b, st[i], recon_offset) for i, b in enumerate(bands))
+                    x = _haar_level_f32(x, lh, hl, hh)
+            hi = lo
+    elif stream.wavelet == "haar_int":
+        details = _widen_div_int_np(stream)
+        x = _3d(ll).astype(np.int32)
+        for lvl in range(stream.levels, 0, -1):
+            bands = [_3d(np.asarray(b)) for b in details[lvl - 1]]
+            # crop-or-pad to the band grid (tile-padded streams store bands
+            # slightly larger; haar_int is pair-local so zero padding never
+            # bleeds into the valid region)
+            x = _fit(x, bands[0].shape[-2], bands[0].shape[-1])
+            last = lvl == 1
+            if native and all(b.dtype in (np.int8, np.int16) for b in bands) and bands[0].dtype == bands[1].dtype == bands[2].dtype:
+                x = _native_haar_int_level(x, *bands, u8_in and last)
+            else:
+                lh, hl, hh = (b.astype(np.int32) for b in bands)
+                x = _int_level_inv(x, lh, hl, hh, stream.wavelet)
+    else:  # other integer wavelets, global layout (hi-depth streams)
+        details = _widen_div_int_np(stream)
+        x = _3d(ll).astype(np.int32)
+        for lvl in range(stream.levels, 0, -1):
+            lh, hl, hh = (_3d(np.asarray(b)).astype(np.int32) for b in details[lvl - 1])
+            x = _fit(x, lh.shape[-2], lh.shape[-1])
+            x = _int_level_inv(x, lh, hl, hh, stream.wavelet)
+    x = x.reshape(lead + x.shape[-2:])
+    x = _undo_color_np(stream, x)
+    if emit_u8 and x.dtype not in (np.uint8, np.uint16):
+        x = _emit_native_np(stream, x)
+    h, w = stream.orig_shape
+    out = x[..., :h, :w]
+    _record_mps(h * w / 1e6, time.perf_counter() - t0)
+    return out

@@ -257,11 +257,53 @@ def _row_fetcher(nrows: int, rowlen: int):
     return row
 
 
+# measured D2H link bandwidth (bytes/s), EMA over actual large fetches —
+# the input to decode_folder's host-vs-device cost model
+_link_bw: float | None = None
+_BW_ALPHA = 0.4
+
+
+def _record_bw(nbytes: int, seconds: float) -> None:
+    global _link_bw
+    if seconds <= 0 or nbytes < (1 << 22):
+        return  # small fetches measure latency, not bandwidth
+    bw = nbytes / seconds
+    _link_bw = bw if _link_bw is None else (_BW_ALPHA * bw + (1 - _BW_ALPHA) * _link_bw)
+
+
+def link_bandwidth(probe: bool = False) -> float | None:
+    """Measured D2H bandwidth in bytes/s (EMA over real fetches).
+
+    Returns ``math.inf`` on CPU backends (device "transfers" are memcpys),
+    ``None`` when nothing has been measured yet — unless ``probe``, which
+    then times one ~8 MB round trip to seed the estimate."""
+    import math
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return math.inf
+    if _link_bw is None and probe:
+        import time
+
+        import jax.numpy as jnp
+
+        x = jnp.zeros((1 << 23,), jnp.uint8) + jnp.uint8(1)  # 8 MB on device
+        np.asarray(x[:8])  # force materialization before timing
+        t0 = time.perf_counter()
+        np.asarray(x)
+        _record_bw(1 << 23, time.perf_counter() - t0)
+    return _link_bw
+
+
 def fetch_array_parallel(x, nstreams: int = _NSTREAMS, force: bool = False) -> np.ndarray:
     """Fetch a device array via ``nstreams`` concurrent chunk transfers
     (~1.5x a single np.asarray through the tunnel). Returns numpy with the
     original shape/dtype. On CPU backends (no tunnel) it degrades to a plain
-    ``np.asarray`` unless ``force`` (tests)."""
+    ``np.asarray`` unless ``force`` (tests). Observed throughput feeds
+    :func:`link_bandwidth`."""
+    import time
+
     import jax.numpy as jnp
 
     shape, dtype = x.shape, x.dtype
@@ -274,12 +316,14 @@ def fetch_array_parallel(x, nstreams: int = _NSTREAMS, force: bool = False) -> n
     row = _row_fetcher(nstreams, rowlen)
     rows = [row(padded, i) for i in range(nstreams)]  # dispatch all slices
 
+    t0 = time.perf_counter()
     out = np.empty(nstreams * rowlen, dtype)
     def _get(i):
         out[i * rowlen : (i + 1) * rowlen] = np.asarray(rows[i])
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=nstreams) as pool:
         list(pool.map(_get, range(nstreams)))
+    _record_bw(out.nbytes, time.perf_counter() - t0)
     return out[:n].reshape(shape)
 
 

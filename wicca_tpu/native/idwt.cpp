@@ -1,0 +1,249 @@
+// Host-side fused inverse-DWT levels for codec/host_decode.py.
+//
+// Why: on a tunnel-attached TPU the decode direction is transfer-bound
+// (D2H of the ~160 MB uint8 reconstruction), so decode_folder runs the
+// inverse transform on the host when the measured link bandwidth loses to
+// host compute. The numpy mirror in host_decode.py is the reference; these
+// kernels must match it BIT-FOR-BIT (pinned by tests/test_host_decode.py::
+// test_native_matches_numpy). Build rule: no value-changing float
+// optimizations (-ffp-contract contractions here are value-safe: every
+// contractible a*b+c has an exactly-representable product, but the Makefile
+// still passes -ffp-contract=off so the guarantee is by construction).
+//
+// Float association contract (= ops/dwt_pallas._idwt_multi_kernel):
+//   deq(q)  = (float(q) + offset*sign(q)) * step
+//   rs_e = (ll + lh)*2 ; rs_o = (ll - lh)*2 ; rd_e = (hl + hh)*2 ; rd_o = ...
+//   out[2i][2j]   = (rs_e + rd_e)*0.5    out[2i][2j+1]   = (rs_o + rd_o)*0.5
+//   out[2i+1][2j] = (rs_e - rd_e)*0.5    out[2i+1][2j+1] = (rs_o - rd_o)*0.5
+//   u8 emit: clip(v, 0, 255) -> (int32) -> uint8   (truncate toward zero)
+//
+// Integer Haar (S-transform) contract (= core/lifting idwt2_level_lifting):
+//   vertical:   e = s - (d >> 1) ; o = d + e     (int32 arithmetic shifts)
+//   horizontal: same, on the vertically reconstructed rows.
+//
+// ABI: plain C + ctypes (pybind11 unavailable; same pattern as entropy.cpp).
+// All planes are passed with explicit element strides so Python can hand
+// over sliced views without copying.
+
+#include <cstdint>
+#include <cstddef>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline float fsign(float v) { return v > 0.0f ? 1.0f : (v < 0.0f ? -1.0f : 0.0f); }
+
+struct Plane {
+  const void* p;
+  size_t rs;  // row stride, elements
+  size_t cs;  // channel stride, elements
+};
+
+template <typename Q>
+inline float deq(const Q* row, size_t j, float step, float off) {
+  float q = static_cast<float>(row[j]);
+  return (q + off * fsign(q)) * step;
+}
+
+// One fused float-Haar synthesis level over rows [h0, h1) of every channel.
+// out is (C, 2H, 2W) f32 or u8.
+template <typename Q, bool EMIT_U8>
+void haar_f32_rows(const float* ll, size_t ll_rs, size_t ll_cs,
+                   Plane lh, Plane hl, Plane hh,
+                   float s_lh, float s_hl, float s_hh, float off,
+                   size_t C, size_t H, size_t W,
+                   void* out, size_t o_rs, size_t o_cs,
+                   size_t h0, size_t h1) {
+  (void)H;
+  for (size_t c = 0; c < C; ++c) {
+    const float* llc = ll + c * ll_cs;
+    const Q* lhc = static_cast<const Q*>(lh.p) + c * lh.cs;
+    const Q* hlc = static_cast<const Q*>(hl.p) + c * hl.cs;
+    const Q* hhc = static_cast<const Q*>(hh.p) + c * hh.cs;
+    for (size_t i = h0; i < h1; ++i) {
+      const float* llr = llc + i * ll_rs;
+      const Q* lhr = lhc + i * lh.rs;
+      const Q* hlr = hlc + i * hl.rs;
+      const Q* hhr = hhc + i * hh.rs;
+      float* e_row = nullptr; float* o_row = nullptr;
+      uint8_t* e_row8 = nullptr; uint8_t* o_row8 = nullptr;
+      if (EMIT_U8) {
+        uint8_t* oc = static_cast<uint8_t*>(out) + c * o_cs;
+        e_row8 = oc + (2 * i) * o_rs;
+        o_row8 = oc + (2 * i + 1) * o_rs;
+      } else {
+        float* oc = static_cast<float*>(out) + c * o_cs;
+        e_row = oc + (2 * i) * o_rs;
+        o_row = oc + (2 * i + 1) * o_rs;
+      }
+      for (size_t j = 0; j < W; ++j) {
+        float llv = llr[j];
+        float lhv = deq<Q>(lhr, j, s_lh, off);
+        float hlv = deq<Q>(hlr, j, s_hl, off);
+        float hhv = deq<Q>(hhr, j, s_hh, off);
+        float rs_e = (llv + lhv) * 2.0f;
+        float rs_o = (llv - lhv) * 2.0f;
+        float rd_e = (hlv + hhv) * 2.0f;
+        float rd_o = (hlv - hhv) * 2.0f;
+        float a = (rs_e + rd_e) * 0.5f;
+        float b = (rs_o + rd_o) * 0.5f;
+        float d = (rs_e - rd_e) * 0.5f;
+        float e = (rs_o - rd_o) * 0.5f;
+        if (EMIT_U8) {
+          e_row8[2 * j] = static_cast<uint8_t>(static_cast<int32_t>(a < 0.f ? 0.f : (a > 255.f ? 255.f : a)));
+          e_row8[2 * j + 1] = static_cast<uint8_t>(static_cast<int32_t>(b < 0.f ? 0.f : (b > 255.f ? 255.f : b)));
+          o_row8[2 * j] = static_cast<uint8_t>(static_cast<int32_t>(d < 0.f ? 0.f : (d > 255.f ? 255.f : d)));
+          o_row8[2 * j + 1] = static_cast<uint8_t>(static_cast<int32_t>(e < 0.f ? 0.f : (e > 255.f ? 255.f : e)));
+        } else {
+          e_row[2 * j] = a;
+          e_row[2 * j + 1] = b;
+          o_row[2 * j] = d;
+          o_row[2 * j + 1] = e;
+        }
+      }
+    }
+  }
+}
+
+// One fused integer-Haar (S-transform) synthesis level, int32 LL + Q codes.
+// out is (C, 2H, 2W) int32 or u8.
+template <typename Q, bool EMIT_U8>
+void haar_int_rows(const int32_t* ll, size_t ll_rs, size_t ll_cs,
+                   Plane lh, Plane hl, Plane hh,
+                   size_t C, size_t H, size_t W,
+                   void* out, size_t o_rs, size_t o_cs,
+                   size_t h0, size_t h1, std::vector<int32_t>& scratch) {
+  (void)H;
+  // scratch: 4 rows (lo_e, lo_o, hi_e, hi_o) of W int32
+  scratch.resize(4 * W);
+  int32_t* lo_e = scratch.data();
+  int32_t* lo_o = lo_e + W;
+  int32_t* hi_e = lo_o + W;
+  int32_t* hi_o = hi_e + W;
+  for (size_t c = 0; c < C; ++c) {
+    const int32_t* llc = ll + c * ll_cs;
+    const Q* lhc = static_cast<const Q*>(lh.p) + c * lh.cs;
+    const Q* hlc = static_cast<const Q*>(hl.p) + c * hl.cs;
+    const Q* hhc = static_cast<const Q*>(hh.p) + c * hh.cs;
+    for (size_t i = h0; i < h1; ++i) {
+      const int32_t* s_row = llc + i * ll_rs;
+      const Q* lh_row = lhc + i * lh.rs;
+      const Q* hl_row = hlc + i * hl.rs;
+      const Q* hh_row = hhc + i * hh.rs;
+      // vertical inverse: lo rows from (ll, hl), hi rows from (lh, hh)
+      for (size_t j = 0; j < W; ++j) {
+        int32_t d = static_cast<int32_t>(hl_row[j]);
+        int32_t e = s_row[j] - (d >> 1);
+        lo_e[j] = e;
+        lo_o[j] = d + e;
+        int32_t d2 = static_cast<int32_t>(hh_row[j]);
+        int32_t e2 = static_cast<int32_t>(lh_row[j]) - (d2 >> 1);
+        hi_e[j] = e2;
+        hi_o[j] = d2 + e2;
+      }
+      // horizontal inverse on each of the two output rows
+      const int32_t* los[2] = {lo_e, lo_o};
+      const int32_t* his[2] = {hi_e, hi_o};
+      for (int r = 0; r < 2; ++r) {
+        size_t oi = 2 * i + r;
+        if (EMIT_U8) {
+          uint8_t* orow = static_cast<uint8_t*>(out) + c * o_cs + oi * o_rs;
+          for (size_t j = 0; j < W; ++j) {
+            int32_t d = his[r][j];
+            int32_t e = los[r][j] - (d >> 1);
+            int32_t o = d + e;
+            orow[2 * j] = static_cast<uint8_t>(e < 0 ? 0 : (e > 255 ? 255 : e));
+            orow[2 * j + 1] = static_cast<uint8_t>(o < 0 ? 0 : (o > 255 ? 255 : o));
+          }
+        } else {
+          int32_t* orow = static_cast<int32_t*>(out) + c * o_cs + oi * o_rs;
+          for (size_t j = 0; j < W; ++j) {
+            int32_t d = his[r][j];
+            int32_t e = los[r][j] - (d >> 1);
+            orow[2 * j] = e;
+            orow[2 * j + 1] = d + e;
+          }
+        }
+      }
+    }
+  }
+}
+
+template <typename F>
+void run_rows(size_t H, int nthreads, F&& body) {
+  if (nthreads <= 1 || H < 64) {
+    body(0, H, 0);
+    return;
+  }
+  size_t nt = static_cast<size_t>(nthreads);
+  if (nt > H) nt = H;
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  size_t chunk = (H + nt - 1) / nt;
+  for (size_t t = 0; t < nt; ++t) {
+    size_t h0 = t * chunk;
+    size_t h1 = h0 + chunk < H ? h0 + chunk : H;
+    if (h0 >= h1) break;
+    ts.emplace_back([&, h0, h1, t] { body(h0, h1, t); });
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Float-Haar synthesis level. q16: 0 = int8 codes, 1 = int16. emit: 0 = f32
+// out, 1 = uint8 out. Strides in ELEMENTS of the respective dtype.
+void wicca_idwt_haar_f32_level(
+    const float* ll, size_t ll_rs, size_t ll_cs,
+    const void* lh, size_t lh_rs, size_t lh_cs,
+    const void* hl, size_t hl_rs, size_t hl_cs,
+    const void* hh, size_t hh_rs, size_t hh_cs,
+    int q16, float s_lh, float s_hl, float s_hh, float off,
+    size_t C, size_t H, size_t W,
+    void* out, size_t o_rs, size_t o_cs, int emit_u8, int nthreads) {
+  Plane plh{lh, lh_rs, lh_cs}, phl{hl, hl_rs, hl_cs}, phh{hh, hh_rs, hh_cs};
+  run_rows(H, nthreads, [&](size_t h0, size_t h1, size_t) {
+    if (q16) {
+      if (emit_u8)
+        haar_f32_rows<int16_t, true>(ll, ll_rs, ll_cs, plh, phl, phh, s_lh, s_hl, s_hh, off, C, H, W, out, o_rs, o_cs, h0, h1);
+      else
+        haar_f32_rows<int16_t, false>(ll, ll_rs, ll_cs, plh, phl, phh, s_lh, s_hl, s_hh, off, C, H, W, out, o_rs, o_cs, h0, h1);
+    } else {
+      if (emit_u8)
+        haar_f32_rows<int8_t, true>(ll, ll_rs, ll_cs, plh, phl, phh, s_lh, s_hl, s_hh, off, C, H, W, out, o_rs, o_cs, h0, h1);
+      else
+        haar_f32_rows<int8_t, false>(ll, ll_rs, ll_cs, plh, phl, phh, s_lh, s_hl, s_hh, off, C, H, W, out, o_rs, o_cs, h0, h1);
+    }
+  });
+}
+
+// Integer-Haar (S-transform) synthesis level. int32 LL; q16 selects code
+// width; emit 0 = int32 out, 1 = uint8 out (clip 0..255).
+void wicca_idwt_haar_int_level(
+    const int32_t* ll, size_t ll_rs, size_t ll_cs,
+    const void* lh, size_t lh_rs, size_t lh_cs,
+    const void* hl, size_t hl_rs, size_t hl_cs,
+    const void* hh, size_t hh_rs, size_t hh_cs,
+    int q16, size_t C, size_t H, size_t W,
+    void* out, size_t o_rs, size_t o_cs, int emit_u8, int nthreads) {
+  Plane plh{lh, lh_rs, lh_cs}, phl{hl, hl_rs, hl_cs}, phh{hh, hh_rs, hh_cs};
+  run_rows(H, nthreads, [&](size_t h0, size_t h1, size_t) {
+    std::vector<int32_t> scratch;
+    if (q16) {
+      if (emit_u8)
+        haar_int_rows<int16_t, true>(ll, ll_rs, ll_cs, plh, phl, phh, C, H, W, out, o_rs, o_cs, h0, h1, scratch);
+      else
+        haar_int_rows<int16_t, false>(ll, ll_rs, ll_cs, plh, phl, phh, C, H, W, out, o_rs, o_cs, h0, h1, scratch);
+    } else {
+      if (emit_u8)
+        haar_int_rows<int8_t, true>(ll, ll_rs, ll_cs, plh, phl, phh, C, H, W, out, o_rs, o_cs, h0, h1, scratch);
+      else
+        haar_int_rows<int8_t, false>(ll, ll_rs, ll_cs, plh, phl, phh, C, H, W, out, o_rs, o_cs, h0, h1, scratch);
+    }
+  });
+}
+
+}  // extern "C"

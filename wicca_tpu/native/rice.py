@@ -67,6 +67,16 @@ def _load():
                 fn = getattr(lib, name)
                 fn.argtypes = [_p, _z, _p]
                 fn.restype = None
+            # host-decode IDWT levels (idwt.cpp / codec/host_decode.py)
+            _f, _i, _v = ctypes.c_float, ctypes.c_int, ctypes.c_void_p
+            lib.wicca_idwt_haar_f32_level.argtypes = (
+                [_v, _z, _z] + [_v, _z, _z] * 3 + [_i, _f, _f, _f, _f, _z, _z, _z, _v, _z, _z, _i, _i]
+            )
+            lib.wicca_idwt_haar_f32_level.restype = None
+            lib.wicca_idwt_haar_int_level.argtypes = (
+                [_v, _z, _z] + [_v, _z, _z] * 3 + [_i, _z, _z, _z, _v, _z, _z, _i, _i]
+            )
+            lib.wicca_idwt_haar_int_level.restype = None
             _lib = lib
         except Exception as e:  # noqa: BLE001
             logging.warning(f"native entropy codec unavailable ({e}); using numpy fallback")

@@ -105,26 +105,54 @@ def plot_metric_radar(names: list[str], metric: list[float], title: str = "Metri
         return fig
 
 
-def plot_compare_metrics(comparison_df, x_metric: str, y_metric: str, title: str = "Metric comparison"):
+def plot_compare_metrics(comparison_df, x_metric=None, y_metric=None, title: str = "Metric comparison",
+                         xlabel: str | None = None, ylabel: str | None = None):
     """Scatter of two metrics with classifier/depth labels (reference
-    visualization.py:256-280; plotly with matplotlib fallback)."""
+    visualization.py:256-280; plotly with matplotlib fallback).
+
+    Accepts BOTH calling conventions:
+
+    * DataFrame form — ``(comparison_df, "x_col", "y_col")`` with column
+      names from the cross-run comparison table.
+    * Reference positional form — ``(names, metric1, metric2)`` value
+      sequences, exactly as /root/reference/wicca/visualization.py:256
+      takes them (what ``extract_from_comparison`` output feeds); the
+      reference's ``xlabel``/``ylabel`` defaults apply.
+    """
+    if not hasattr(comparison_df, "columns"):  # reference value-list form
+        names = list(comparison_df)
+        xs = np.asarray(list(x_metric), dtype=float)
+        ys = np.asarray(list(y_metric), dtype=float)
+        x_name = xlabel or "Similar classes, %"
+        y_name = ylabel or "Best class similarity, %"
+        if title == "Metric comparison":
+            title = "Classifier Performance Comparison"
+        return _scatter_labeled(xs, ys, names, x_name, y_name, title)
     for m in (x_metric, y_metric):
         if m not in comparison_df.columns:
             raise ValueError(f"no column {m!r} in the comparison table")
     labels = [f"{c} d{d}" for c, d in zip(comparison_df["Classifier"], comparison_df["Depth"])]
+    return _scatter_labeled(
+        np.asarray(comparison_df[x_metric]), np.asarray(comparison_df[y_metric]),
+        labels, xlabel or x_metric, ylabel or y_metric, title,
+    )
+
+
+def _scatter_labeled(xs, ys, labels, x_name, y_name, title):
     try:
         import plotly.express as px
 
-        fig = px.scatter(comparison_df, x=x_metric, y=y_metric, text=labels, title=title)
+        fig = px.scatter(x=xs, y=ys, text=labels, labels={"x": x_name, "y": y_name}, title=title)
+        fig.update_traces(textposition="top center", marker_size=12)
         return fig
     except ImportError:
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(7, 5))
-        ax.scatter(comparison_df[x_metric], comparison_df[y_metric])
-        for x, y, lbl in zip(comparison_df[x_metric], comparison_df[y_metric], labels):
+        ax.scatter(xs, ys)
+        for x, y, lbl in zip(xs, ys, labels):
             ax.annotate(lbl, (x, y), fontsize=8)
-        ax.set_xlabel(x_metric)
-        ax.set_ylabel(y_metric)
+        ax.set_xlabel(x_name)
+        ax.set_ylabel(y_name)
         ax.set_title(title)
         return fig
