@@ -32,6 +32,12 @@ CONTRACT_STRINGS = {
     "depth-{depth}",
     "{classifier_name}-depth-{depth}.csv",
     "{classifier_name}-summary-depth-{depth}.csv",
+    # plot_compare_metrics default axis/title labels: part of the
+    # reference's positional-call API surface (visualization.py:256-259) —
+    # a drop-in caller relying on defaults must see the same labels
+    "Similar classes, %",
+    "Best class similarity, %",
+    "Classifier Performance Comparison",
 }
 
 MIN_LEN = 12  # below this, collisions are coincidental ("import numpy"...)

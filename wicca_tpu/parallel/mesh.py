@@ -32,6 +32,7 @@ def init_distributed(
     process_id: int | None = None,
     retries: int = 3,
     backoff_s: float = 5.0,
+    init_timeout_s: float | None = None,
 ) -> bool:
     """Multi-controller init for multi-host slices (SURVEY.md §5: the
     reference is single-process; this wraps jax.distributed.initialize).
@@ -48,16 +49,23 @@ def init_distributed(
     import logging
     import time
 
+    kw = {}
+    if init_timeout_s is not None:
+        # bound each attempt so a dead coordinator surfaces as a retry (the
+        # default initialization_timeout is 300 s — fine for production
+        # bring-up, too slow to detect a flaky start)
+        kw["initialization_timeout"] = max(1, int(init_timeout_s))
     last: Exception | None = None
     for attempt in range(max(1, retries)):
         try:
             if coordinator is None and num_processes is None:
-                jax.distributed.initialize()
+                jax.distributed.initialize(**kw)
             else:
                 jax.distributed.initialize(
                     coordinator_address=coordinator,
                     num_processes=num_processes,
                     process_id=process_id,
+                    **kw,
                 )
             return True
         except RuntimeError as e:
