@@ -21,12 +21,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout
 import numpy as np
 
 
-def synthesize(folder: Path, n: int, size: int) -> None:
+def synthesize(folder: Path, n: int, h: int, w: int, fmt: str = "png") -> None:
     import cv2
 
     folder.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     for i in range(n):
         img = np.clip(
             120
@@ -37,13 +37,17 @@ def synthesize(folder: Path, n: int, size: int) -> None:
             255,
         ).astype(np.uint8)
         rgb = np.stack([img, np.roll(img, 17, 0), np.roll(img, 29, 1)], -1)
-        cv2.imwrite(str(folder / f"img_{i:03d}.png"), rgb)
+        opts = [cv2.IMWRITE_JPEG_QUALITY, 92] if fmt == "jpg" else []
+        cv2.imwrite(str(folder / f"img_{i:03d}.{fmt}"), rgb, opts)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=12)
-    ap.add_argument("--size", type=int, default=2048)
+    ap.add_argument("--size", type=int, nargs="+", default=[2048],
+                    help="frame size: one int (square) or H W (the reference mean is 6393 8284)")
+    ap.add_argument("--format", default="png", choices=["png", "jpg"],
+                    help="source format (jpg for spec-scale datasets: 10x smaller, faster IO)")
     ap.add_argument("--depths", nargs="+", type=int, default=[2, 3, 4, 5, 6])
     ap.add_argument("--models", nargs="+", default=["MobileNetV2"])
     ap.add_argument("--out", default="/tmp/wicca_dataset_run")
@@ -56,11 +60,13 @@ def main() -> int:
                          "directory (the checked-in round artifact)")
     args = ap.parse_args()
 
+    h = args.size[0]
+    w = args.size[1] if len(args.size) > 1 else args.size[0]
     out = Path(args.out)
     data = out / "images"
-    if not data.exists() or len(list(data.glob("*.png"))) != args.images:
-        synthesize(data, args.images, args.size)
-    print(f"dataset: {args.images} images at {args.size}x{args.size}")
+    if not data.exists() or len(list(data.glob(f"*.{args.format}"))) != args.images:
+        synthesize(data, args.images, h, w, args.format)
+    print(f"dataset: {args.images} images at {h}x{w} ({h * w / 1e6:.1f} MP, .{args.format})")
 
     import jax
 
@@ -122,7 +128,7 @@ def main() -> int:
 
     summary = {
         "images": args.images,
-        "size": args.size,
+        "size": [h, w],
         "encode_MPs": em["mp_per_s"],
         "decode_MPs": dm["mp_per_s"],
         "mean_psnr_db": round(float(np.mean(psnrs)), 2),
@@ -150,12 +156,13 @@ def _write_report(report_dir: Path, out: Path, summary: dict, comps: dict, args)
         "# Dataset study (BASELINE configs 3-4)",
         "",
         f"{summary['images']} synthetic photo-like images at "
-        f"{summary['size']}x{summary['size']} (3 channels), depths "
+        f"{summary['size'][0]}x{summary['size'][1]} "
+        f"({summary['size'][0] * summary['size'][1] / 1e6:.1f} MP, 3 channels), depths "
         f"{summary['depths']}, models {summary['models']}, run on the "
         "session's real TPU chip in one command:",
         "",
         "```",
-        f"python examples/dataset_pipeline.py --images {args.images} --size {args.size} "
+        f"python examples/dataset_pipeline.py --images {args.images} --size {' '.join(map(str, args.size))} "
         f"--depths {' '.join(map(str, args.depths))} --compare {' '.join(args.compare)} "
         f"--report {report_dir}",
         "```",

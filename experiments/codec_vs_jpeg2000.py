@@ -89,11 +89,19 @@ def run():
 
     fine = _fetch(encode(planar, levels=5, spec=QuantSpec(base_step=0.25),
                          wavelet="bior4.4", color="ict"), force=False)
+    from wicca_tpu.codec.container import deserialize
+
     ours_pcrd = []
     for bpp_t in (4.0, 2.0, 1.0, 0.5, 0.25):
-        small = _rd.truncate(fine, target_bpp=bpp_t)
-        blob = serialize(small)
-        rec = np.moveaxis(np.asarray(decode(small, emit_u8=True)), 0, -1).astype(np.float32)
+        # ll_codec='quant' (WCT10): below ~0.6 bpp the raw float32 LL is a
+        # fixed ~0.1 bpp floor eating up to a third of the budget; coding it
+        # hands those bytes to the detail planes (the dominant low-rate
+        # lever — measured +2-4 dB at 0.3-0.5 bpp; a per-64x64-block
+        # divisor oracle measured only +-0.1 dB here, see
+        # experiments/blockdiv_probe.py)
+        small = _rd.truncate(fine, target_bpp=bpp_t, ll_codec="quant")
+        blob = serialize(small, ll_codec="quant")
+        rec = np.moveaxis(np.asarray(decode(deserialize(blob), emit_u8=True)), 0, -1).astype(np.float32)
         p = float(psnr(rec, x_f))
         ours_pcrd.append((bpp_of(len(blob), h, w), p))
         print(f"  target {bpp_t:5.2f}: {ours_pcrd[-1][0]:6.3f} bpp  {p:6.2f} dB", flush=True)

@@ -194,6 +194,40 @@ def test_integer_wavelet_truncation_bounded_error():
         np.testing.assert_array_equal(got, want)
 
 
+def test_truncate_ll_codec_quant_low_bpp():
+    """ll_codec='quant' (WCT10) inside the PCRD budget: below ~0.6 bpp the
+    raw float32 LL floor eats up to a third of the budget; coding it must
+    (a) keep the container within budget, (b) decode, and (c) beat the
+    raw-LL allocation at the same target (the r5 low-rate lever)."""
+    x = photo(h=512, w=512, seed=20)
+    fine = _host(encode(x, levels=5, spec=QuantSpec(base_step=0.25)))
+    t = 0.4
+    raw = rd.truncate(fine, target_bpp=t)
+    quant = rd.truncate(fine, target_bpp=t, ll_codec="quant")
+    blob_raw = C.serialize(raw)
+    blob_q = C.serialize(quant, ll_codec="quant")
+    n = 512 * 512
+    assert len(blob_q) * 8 / n <= t + 1e-9
+    rec_raw = np.asarray(decode(C.deserialize(blob_raw), emit_u8=True)).astype(np.float32)
+    rec_q = np.asarray(decode(C.deserialize(blob_q), emit_u8=True)).astype(np.float32)
+    xf = x.astype(np.float32)
+    assert float(psnr(rec_q, xf)) > float(psnr(rec_raw, xf)) + 0.3
+
+
+def test_allocate_fillback_fills_budget():
+    """The fill-back pass must spend slack the greedy pass leaves (never
+    exceeding the budget, never increasing distortion vs no fill-back)."""
+    tables = [
+        rd.PlaneRD((1, 2, 4), (1000, 400, 100), (0.0, 50.0, 200.0)),
+        rd.PlaneRD((1, 2, 4), (900, 500, 50), (0.0, 30.0, 300.0)),
+    ]
+    divs, rate, dist = rd.allocate(tables, 1500)
+    assert rate <= 1500
+    # greedy alone would stop at (400+900)=1300 or coarser; fill-back should
+    # find the (400, 900) -> 1300 or better combination up to 1500
+    assert rate >= 1300
+
+
 def test_truncate_rejects_roi_and_double_truncation():
     x = photo(seed=8)
     s = _host(encode(x, levels=2, spec=QuantSpec(base_step=0.5)))

@@ -409,6 +409,32 @@ def allocate(
         if j + 2 < len(h):
             slope = (h[j + 2][2] - h[j + 1][2]) / max(h[j + 1][1] - h[j + 2][1], 1e-12)
             heapq.heappush(heap, (slope, i))
+    # fill-back: the final greedy move can land well under budget (plane
+    # moves are coarse); spend the remainder by undoing the refinements
+    # with the best distortion-reduction per byte that still fit. Each
+    # plane has at most one live entry, pushed only when its previous one
+    # is consumed, so popped slopes always match the current choice.
+    refine: list[tuple[float, int]] = []
+    for i, h in enumerate(hulls):
+        j = choice[i]
+        if j > 0:
+            dr = h[j - 1][1] - h[j][1]
+            dd = h[j][2] - h[j - 1][2]
+            heapq.heappush(refine, (-dd / max(dr, 1e-12), i))
+    while refine:
+        _, i = heapq.heappop(refine)
+        h = hulls[i]
+        j = choice[i]
+        dr = h[j - 1][1] - h[j][1]
+        if rate + dr > budget_bytes:
+            continue  # does not fit; cheaper planes may still
+        rate += dr
+        dist -= h[j][2] - h[j - 1][2]
+        choice[i] = j - 1
+        if j - 1 > 0:
+            dr2 = h[j - 2][1] - h[j - 1][1]
+            dd2 = h[j - 1][2] - h[j - 2][2]
+            heapq.heappush(refine, (-dd2 / max(dr2, 1e-12), i))
     return tuple(hulls[i][choice[i]][0] for i in range(len(hulls))), rate, dist
 
 
@@ -418,6 +444,8 @@ def truncate(
     target_bytes: int | None = None,
     divisors: tuple[int, ...] = DIVISORS,
     codec: str = "auto",
+    ll_codec: str = "raw",
+    ll_step: float = 0.125,
 ) -> CodeStream:
     """R-D-optimally truncate a fine-step stream to a byte/bpp budget.
 
@@ -430,6 +458,14 @@ def truncate(
     the divisor table is stored in the WCT9 header and decode applies
     ``step * div`` per plane — any prefix of quality still decodes through
     every existing path (decode / decode_region / decode_at_level).
+
+    ``ll_codec``/``ll_step``: pass the WCT10 LL-coding options the caller
+    will use at ``container.save`` time so the overhead estimate matches.
+    Below ~0.6 bpp this is the dominant lever: a raw float32 LL is a fixed
+    ~0.1 bpp floor (18-31%% of the whole budget at 0.3-0.5 bpp) that
+    ``ll_codec='quant'`` shrinks ~4x, and the allocator hands the savings
+    to the detail planes (measured +2-4 dB at 0.3-0.5 bpp,
+    experiments/codec_vs_jpeg2000.py).
     """
     if (target_bpp is None) == (target_bytes is None):
         raise ValueError("pass exactly one of target_bpp / target_bytes")
@@ -446,7 +482,10 @@ def truncate(
     # table; add its levels*3 bytes so the budget is an upper bound.
     # (quality-layer section headers added by save(..., quality_layers>1)
     # are deliberately excluded — layering happens after truncation.)
-    overhead = len(serialize(stream, codec=codec)) - base_rate + stream.levels * 3
+    overhead = (
+        len(serialize(stream, codec=codec, ll_codec=ll_codec, ll_step=ll_step))
+        - base_rate + stream.levels * 3
+    )
     divs, rate, dist = allocate(tables, max(target_bytes - overhead, 0))
     details = []
     it = iter(divs)

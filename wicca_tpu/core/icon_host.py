@@ -1,0 +1,97 @@
+"""Host (numpy) reference icons — the tunnel-side twin of the device icon
+kernel, used by the harness when measured link bandwidth makes uploading
+full-resolution frames the bottleneck (same cost model as
+codec.batch._decode_route; VERDICT r4: config-3/4 at 52 MP spec scale).
+
+Exactness: for uint8 input at depth <= 6 the reference icon value is
+EXACTLY representable in float32 at every stage — each icon pixel is
+``sum(block) * 0.25**d`` with ``sum(block) <= 4096*255 < 2**24`` and at most
+12 fractional bits, so integer block sums scaled once by an exact power of
+two reproduce the float-accumulation contract bit-for-bit (the same
+argument ops/dwt_pallas uses for its integer-exact from_u8 path). Pinned
+against tests/oracle.py and core.haar.haar_icon by tests/test_icon_host.py.
+
+The multi-depth cascade (`icons_multi`) reuses the integer pyramid: block
+sums at depth d+1 are sums of four depth-d sums (exact), so a depth sweep
+costs ONE pass over the full-resolution image plus geometrically shrinking
+follow-ups — the property that makes a 6-depth harness sweep at 52 MP
+host-feasible (~0.5 s/frame instead of 6 uploads of 160 MB).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+# measured host icon throughput (MP/s over source pixels), EMA — cost-model
+# input, mirrors codec.host_decode.measured_mp_per_s
+_mps: float | None = None
+_MPS_PRIOR = 120.0
+_ALPHA = 0.4
+
+
+def measured_mp_per_s() -> float:
+    return _mps if _mps is not None else _MPS_PRIOR
+
+
+def _record(mp: float, seconds: float) -> None:
+    global _mps
+    if seconds <= 0 or mp < 0.25:
+        return
+    r = mp / seconds
+    _mps = r if _mps is None else (_ALPHA * r + (1 - _ALPHA) * _mps)
+
+
+def _pad_replicate(x: np.ndarray, unit: int) -> np.ndarray:
+    h, w = x.shape[-2], x.shape[-1]
+    dh, dw = (-h) % unit, (-w) % unit
+    if not dh and not dw:
+        return x
+    pw = [(0, 0)] * (x.ndim - 2) + [(0, dh), (0, dw)]
+    return np.pad(x, pw, mode="edge")
+
+
+def _block_sums(x: np.ndarray) -> np.ndarray:
+    """Exact int32 sums of 2x2 blocks of the last two dims."""
+    h, w = x.shape[-2], x.shape[-1]
+    r = x.reshape(x.shape[:-2] + (h // 2, 2, w)).sum(axis=-2, dtype=np.int32)
+    return r.reshape(r.shape[:-1] + (w // 2, 2)).sum(axis=-1, dtype=np.int32)
+
+
+def _emit(sums: np.ndarray, depth: int) -> np.ndarray:
+    icon = sums.astype(np.float32) * np.float32(0.25**depth)
+    return np.clip(icon, 0, 255).astype(np.uint8)
+
+
+def icon_host(planar_u8: np.ndarray, depth: int) -> np.ndarray:
+    """Depth-d reference icon of a planar ``(..., H, W)`` uint8 image,
+    bit-exact vs :func:`wicca_tpu.core.haar.haar_icon` (replicate padding
+    to 2**depth, crop semantics match — padding only extends bottom/right)."""
+    return icons_multi(planar_u8, (depth,))[depth]
+
+
+def icons_multi(planar_u8: np.ndarray, depths) -> dict[int, np.ndarray]:
+    """Icons at every requested depth from one integer cascade (exact)."""
+    t0 = time.perf_counter()
+    depths = sorted(set(int(d) for d in depths))
+    if not depths or depths[0] < 1:
+        raise ValueError(f"depths must be >= 1, got {depths}")
+    x = np.asarray(planar_u8)
+    if x.dtype != np.uint8:
+        raise TypeError(f"icon_host wants uint8, got {x.dtype}")
+    h, w = x.shape[-2], x.shape[-1]
+    unit = 1 << max(depths)
+    # replicate-padding to 2**max(depths) equals per-depth 2**d padding on
+    # every KEPT pixel: extra rows/cols only extend bottom/right, and the
+    # last kept block's replicated values are the same either way
+    sums = _pad_replicate(x, unit)  # u8; _block_sums widens to int32
+    out: dict[int, np.ndarray] = {}
+    level = 0
+    for d in depths:
+        while level < d:
+            sums = _block_sums(sums)
+            level += 1
+        out[d] = _emit(sums, d)[..., : -(-h // (1 << d)), : -(-w // (1 << d))]
+    _record(h * w / 1e6, time.perf_counter() - t0)
+    return out

@@ -40,9 +40,37 @@ from wicca_tpu.data.validation import validate_input_folder, validate_output_fol
 _BUCKET = 512  # pad H/W up to multiples of this to bound recompiles
 
 
+def _icon_route(nbytes: int, megapixels: float) -> str:
+    """Host-vs-device routing for icon computation, by measured bandwidths
+    (the decode_folder cost model, codec.batch._decode_route, applied to
+    the harness's other big upload): device cost = full-resolution H2D /
+    measured link bandwidth; host cost = megapixels / measured numpy icon
+    rate. The host icon (core/icon_host.py) is bit-exact by construction,
+    so routing never changes results — only where the blocks get summed.
+    WICCA_TPU_ICON_PATH forces host|device."""
+    import os
+
+    forced = os.environ.get("WICCA_TPU_ICON_PATH", "auto").lower()
+    if forced in ("host", "device"):
+        return forced
+    from wicca_tpu.codec import transfer
+
+    link = transfer.link_bandwidth(probe=True)
+    if link is None or link != link or link == float("inf"):
+        return "device"
+    from wicca_tpu.core import icon_host
+
+    device_s = nbytes / link + 0.002
+    host_s = megapixels / icon_host.measured_mp_per_s()
+    return "host" if host_s < device_s else "device"
+
+
 def _compute_icon(image_hwc: np.ndarray, depth: int) -> np.ndarray:
-    """Depth-d icon of one HWC uint8 image on the default backend (TPU when
-    available), bit-exact vs the reference HaarCoder (SURVEY.md §2.3).
+    """Depth-d icon of one HWC uint8 image, bit-exact vs the reference
+    HaarCoder (SURVEY.md §2.3) on every route: the device kernel
+    (icon_pallas on TPU, haar_icon otherwise) or the host integer cascade
+    (core/icon_host.py) when the measured link bandwidth loses to host
+    compute (_icon_route).
 
     Bucket padding (replicate) only adds rows/cols below/right of the
     alignment padding; every kept icon pixel's 2^d x 2^d support is identical,
@@ -58,6 +86,10 @@ def _compute_icon(image_hwc: np.ndarray, depth: int) -> np.ndarray:
     unit = 1 << depth
     out_h, out_w = -(-h // unit), -(-w // unit)
     planar = to_planar(image_hwc)
+    if planar.dtype == np.uint8 and _icon_route(planar.nbytes, h * w / 1e6) == "host":
+        from wicca_tpu.core.icon_host import icon_host
+
+        return from_planar(icon_host(np.asarray(planar), depth))
     bucket = max(_BUCKET, unit)
     padded = pad_to_multiple(planar, bucket, mode="replicate")
     fn = icon_pallas if jax.default_backend() == "tpu" else haar_icon
@@ -77,6 +109,12 @@ def _compute_icons_batched(images_hwc: list[np.ndarray], depth: int) -> list[np.
 
     unit = 1 << depth
     bucket = max(_BUCKET, unit)
+    total_bytes = sum(im.nbytes for im in images_hwc)
+    total_mp = sum(im.shape[0] * im.shape[1] for im in images_hwc) / 1e6
+    if all(im.dtype == np.uint8 for im in images_hwc) and _icon_route(total_bytes, total_mp) == "host":
+        from wicca_tpu.core.icon_host import icon_host
+
+        return [from_planar(icon_host(np.asarray(to_planar(im)), depth)) for im in images_hwc]
     fn = icon_pallas if jax.default_backend() == "tpu" else haar_icon
     icons: list[np.ndarray | None] = [None] * len(images_hwc)
     groups: dict[tuple[int, int, int], list[int]] = {}
