@@ -150,6 +150,47 @@ def test_decode_folder_host_path_bit_identical(tmp_path):
         assert a == b
 
 
+def test_host_decode_at_level_bit_exact():
+    """Host progressive decode must equal decode_at_level for every depth
+    (previews never upload a coefficient on the host route)."""
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = photo(250, 318, seed=50)
+    for wavelet, kw in (("haar", {"spec": QuantSpec(base_step=1.0)}), ("haar_int", {})):
+        s = _host(encode(x, levels=5, wavelet=wavelet, **kw))
+        for tl in (0, 1, 2, 5):
+            got = host_decode.host_decode(s, target_level=tl)
+            want = np.asarray(decode_at_level(s, tl, emit_u8=True))
+            np.testing.assert_array_equal(got, want)
+    # truncated stream previews widen band_div exactly like the device
+    small = rd.truncate(_host(encode(x, levels=3, wavelet="haar_int")), target_bpp=2.0)
+    for tl in (1, 2):
+        np.testing.assert_array_equal(
+            host_decode.host_decode(small, target_level=tl),
+            np.asarray(decode_at_level(small, tl, emit_u8=True)),
+        )
+
+
+def test_decode_folder_at_level_host_matches_device(tmp_path):
+    import cv2
+
+    from wicca_tpu.codec.batch import decode_folder, encode_folder
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(src / f"im{i}.png"), np.moveaxis(photo(128, 160, seed=60 + i), 0, -1)[..., ::-1])
+    wct = tmp_path / "wct"
+    encode_folder(src, wct, levels=3, spec=QuantSpec(base_step=1.0))
+    m_host = decode_folder(wct, tmp_path / "th_host", at_level=2, path="host")
+    m_dev = decode_folder(wct, tmp_path / "th_dev", at_level=2, path="device")
+    assert m_host["host_decoded"] == 2 and m_dev["device_decoded"] == 2
+    for i in range(2):
+        a = (tmp_path / "th_host" / f"im{i}.png").read_bytes()
+        b = (tmp_path / "th_dev" / f"im{i}.png").read_bytes()
+        assert a == b
+
+
 def test_decode_route_cost_model(monkeypatch):
     """auto routing: slow measured link -> host; fast link / CPU -> device."""
     import math
@@ -164,9 +205,10 @@ def test_decode_route_cost_model(monkeypatch):
     assert batch._decode_route(s, 0, "auto") == "device"
     monkeypatch.setattr(transfer, "link_bandwidth", lambda probe=False: math.inf)
     assert batch._decode_route(s, 0, "auto") == "device"
-    # progressive previews and unsupported wavelets stay on device
+    # progressive previews also route host on a slow link (the coefficient
+    # upload dominates, not the shrunken D2H); forcing always wins
     monkeypatch.setattr(transfer, "link_bandwidth", lambda probe=False: 40e6)
-    assert batch._decode_route(s, 1, "auto") == "device"
+    assert batch._decode_route(s, 1, "auto") == "host"
     assert batch._decode_route(s, 0, "device") == "device"
 
 

@@ -151,8 +151,8 @@ def _decode_route(stream, at_level: int, path: str) -> str:
     path = os.environ.get("WICCA_TPU_DECODE_PATH", path).lower()
     if path not in ("host", "device", "auto"):
         raise ValueError(f"decode path must be host|device|auto, got {path!r}")
-    if at_level or not host_decode.supported(stream):
-        return "device"  # no host path for progressive previews (yet)
+    if not host_decode.supported(stream):
+        return "device"
     if path != "auto":
         return path
     link = transfer.link_bandwidth(probe=True)
@@ -160,10 +160,12 @@ def _decode_route(stream, at_level: int, path: str) -> str:
         return "device"
     h, w = stream.orig_shape
     nchan = int(np.prod(stream.ll.shape[:-2])) or 1
+    # the device route uploads EVERY coefficient even for a coarse preview;
+    # only the reconstruction D2H shrinks with at_level
     up = stream.num_bytes() * (0.65 if transfer.enabled() else 1.0)
-    down = h * w * nchan * (1 if stream.bit_depth <= 8 else 2)
+    down = (h * w * nchan * (1 if stream.bit_depth <= 8 else 2)) >> (2 * at_level)
     device_s = (up + down) / link + 0.002  # + per-dispatch overhead
-    host_s = (h * w / 1e6) / host_decode.measured_mp_per_s()
+    host_s = (h * w / (1e6 * (1 << (2 * at_level)))) / host_decode.measured_mp_per_s()
     return "host" if host_s < device_s else "device"
 
 
@@ -249,7 +251,9 @@ def decode_folder(
             _fill()
             route, stream = fut.result()
             if route == "host":
-                rec = host_decode.host_decode(stream)
+                rec = host_decode.host_decode(
+                    stream, target_level=min(at_level, stream.levels) if at_level else 0
+                )
                 n_host += 1
             elif at_level:
                 from wicca_tpu.codec.pipeline import decode_at_level

@@ -285,13 +285,21 @@ def _scaled_steps_np(stream, lvl: int) -> tuple[float, float, float]:
     return (s[0] * d[0], s[1] * d[1], s[2] * d[2])
 
 
-def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5) -> np.ndarray:
+def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5,
+                target_level: int = 0) -> np.ndarray:
     """Decode ``stream`` on the host. See module docstring for the
-    exactness contract; raises ValueError when :func:`supported` is False."""
+    exactness contract; raises ValueError when :func:`supported` is False.
+
+    ``target_level=r`` mirrors :func:`wicca_tpu.codec.pipeline.decode_at_level`
+    (reconstruct at 1/2**r resolution from the coarse subbands only) — the
+    host route never uploads a coefficient, so bulk preview sweeps cost
+    zero tunnel traffic."""
     import time
 
     if not supported(stream):
         raise ValueError(f"no host decode path for wavelet={stream.wavelet!r} layout={stream.layout!r}")
+    if not 0 <= target_level <= stream.levels:
+        raise ValueError(f"target_level must be in [0, {stream.levels}]")
     t0 = time.perf_counter()
     from wicca_tpu.ops.dwt_pallas import detail_spatial_shape
 
@@ -305,6 +313,7 @@ def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5) -> np.n
     def _3d(a):
         return a.reshape((-1,) + a.shape[-2:])
 
+    tl = target_level
     if stream.wavelet == "haar":
         details = stream.details
         x = _3d(ll).astype(_F)
@@ -312,33 +321,37 @@ def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5) -> np.n
         hi = stream.levels
         for k in reversed(sizes):
             lo = hi - k
-            dets = [details[i] for i in range(lo, hi)]
-            steps = [_scaled_steps_np(stream, i + 1) for i in range(lo, hi)]
-            ch, cw = detail_spatial_shape(np.asarray(dets[-1][0]), k)
+            if hi <= tl:
+                break
+            use = list(range(max(lo, tl), hi))  # partial pass above target
+            dets = [details[i] for i in use]
+            steps = [_scaled_steps_np(stream, i + 1) for i in use]
+            ch, cw = detail_spatial_shape(np.asarray(dets[-1][0]), len(use))
             x = x[..., :ch, :cw]
             h0, w0 = x.shape[-2], x.shape[-1]
-            for idx in range(k):  # coarse -> fine within the pass
-                lvl = k - idx
+            kk = len(use)
+            for idx in range(kk):  # coarse -> fine within the pass
+                lvl = kk - idx
                 m = 1 << idx
                 st = steps[lvl - 1]
                 bands = [_fit(_3d(np.asarray(b)), h0 * m, w0 * m) for b in dets[lvl - 1]]
-                last = lo == 0 and idx == k - 1
+                last = lo == 0 and tl == 0 and idx == kk - 1
                 if native and all(b.dtype in (np.int8, np.int16) for b in bands) and bands[0].dtype == bands[1].dtype == bands[2].dtype:
                     x = _native_haar_f32_level(x, *bands, st, recon_offset, u8_in and last)
                 else:
                     lh, hl, hh = (_deq(b, st[i], recon_offset) for i, b in enumerate(bands))
                     x = _haar_level_f32(x, lh, hl, hh)
-            hi = lo
+            hi = max(lo, tl)
     elif stream.wavelet == "haar_int":
         details = _widen_div_int_np(stream)
         x = _3d(ll).astype(np.int32)
-        for lvl in range(stream.levels, 0, -1):
+        for lvl in range(stream.levels, tl, -1):
             bands = [_3d(np.asarray(b)) for b in details[lvl - 1]]
             # crop-or-pad to the band grid (tile-padded streams store bands
             # slightly larger; haar_int is pair-local so zero padding never
             # bleeds into the valid region)
             x = _fit(x, bands[0].shape[-2], bands[0].shape[-1])
-            last = lvl == 1
+            last = lvl == tl + 1 and tl == 0
             if native and all(b.dtype in (np.int8, np.int16) for b in bands) and bands[0].dtype == bands[1].dtype == bands[2].dtype:
                 x = _native_haar_int_level(x, *bands, u8_in and last)
             else:
@@ -347,7 +360,7 @@ def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5) -> np.n
     else:  # other integer wavelets, global layout (hi-depth streams)
         details = _widen_div_int_np(stream)
         x = _3d(ll).astype(np.int32)
-        for lvl in range(stream.levels, 0, -1):
+        for lvl in range(stream.levels, tl, -1):
             lh, hl, hh = (_3d(np.asarray(b)).astype(np.int32) for b in details[lvl - 1])
             x = _fit(x, lh.shape[-2], lh.shape[-1])
             x = _int_level_inv(x, lh, hl, hh, stream.wavelet)
@@ -356,6 +369,8 @@ def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5) -> np.n
     if emit_u8 and x.dtype not in (np.uint8, np.uint16):
         x = _emit_native_np(stream, x)
     h, w = stream.orig_shape
-    out = x[..., :h, :w]
-    _record_mps(h * w / 1e6, time.perf_counter() - t0)
+    out_h = -(-h // (1 << tl))
+    out_w = -(-w // (1 << tl))
+    out = x[..., :out_h, :out_w]
+    _record_mps(h * w / (1e6 * (1 << (2 * tl))), time.perf_counter() - t0)
     return out
