@@ -99,9 +99,31 @@ def test_hidepth_global_int_bit_exact():
     np.testing.assert_array_equal(got, np.asarray(decode(s, emit_u8=True)))
 
 
+def test_legall53_tiled_lossless_bit_exact():
+    """The tile-local reversible 5/3 host mirror: lossless roundtrip AND
+    equal to the fused-kernel decode at depths that exercise multiple
+    passes and the tile grid (dims > one (512, 1024) tile when halved)."""
+    from wicca_tpu.codec.pipeline import decode_at_level
+
+    x = photo(1100, 1300, seed=18)
+    s = _host(encode(x, levels=5, wavelet="legall5.3"))
+    got = host_decode.host_decode(s)
+    np.testing.assert_array_equal(got, x)  # lossless
+    np.testing.assert_array_equal(got, np.asarray(decode(s, emit_u8=True)))
+    for tl in (1, 3):
+        np.testing.assert_array_equal(
+            host_decode.host_decode(s, target_level=tl),
+            np.asarray(decode_at_level(s, tl, emit_u8=True)),
+        )
+    small = rd.truncate(_host(encode(x, levels=3, wavelet="legall5.3")), target_bpp=2.0)
+    np.testing.assert_array_equal(
+        host_decode.host_decode(small), np.asarray(decode(small, emit_u8=True))
+    )
+
+
 def test_unsupported_streams_raise():
     x = photo(256, 256, seed=18)
-    s = _host(encode(x, levels=2, wavelet="legall5.3"))  # tiled layout
+    s = _host(encode(x, levels=2, wavelet="bior4.4"))  # tiled float wavelet
     assert not host_decode.supported(s)
     with pytest.raises(ValueError):
         host_decode.host_decode(s)

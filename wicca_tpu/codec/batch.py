@@ -165,7 +165,7 @@ def _decode_route(stream, at_level: int, path: str) -> str:
     up = stream.num_bytes() * (0.65 if transfer.enabled() else 1.0)
     down = (h * w * nchan * (1 if stream.bit_depth <= 8 else 2)) >> (2 * at_level)
     device_s = (up + down) / link + 0.002  # + per-dispatch overhead
-    host_s = (h * w / (1e6 * (1 << (2 * at_level)))) / host_decode.measured_mp_per_s()
+    host_s = (h * w / (1e6 * (1 << (2 * at_level)))) / host_decode.measured_mp_per_s(host_decode._rate_kind(stream))
     return "host" if host_s < device_s else "device"
 
 

@@ -171,6 +171,95 @@ def _legall53_inv1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
 _INT_INV1D = {"haar_int": _haar_int_inv1d, "legall5.3": _legall53_inv1d, "cdf53": _legall53_inv1d}
 
 
+# ---------------------------------------------------------------------------
+# tile-local 5/3 (JPEG2000 independent (512, 1024) tiles — numpy mirror of
+# ops/dwt53_pallas: same tile grid, same edge clamps, bit-exact)
+# ---------------------------------------------------------------------------
+
+_TILE_H, _TILE_W = 512, 1024
+
+
+def _unlift_rows_np(s: np.ndarray, d: np.ndarray, filt: str) -> np.ndarray:
+    """Inverse lifting over row pairs (axis -2), edge-clamped — mirrors
+    dwt53_pallas._unlift53_rows/_unlift_s_rows on (C, hh, w) arrays."""
+    if filt == "haar_int":
+        e = s - (d >> 1)
+        o = d + e
+    else:
+        dp = np.concatenate([d[..., :1, :], d[..., :-1, :]], axis=-2)  # d[n-1], clamp at 0
+        e = s - ((dp + d + 2) >> 2)
+        en = np.concatenate([e[..., 1:, :], e[..., -1:, :]], axis=-2)  # e[n+1], clamp at end
+        o = d + ((e + en) >> 1)
+    out = np.empty(e.shape[:-2] + (e.shape[-2] * 2, e.shape[-1]), e.dtype)
+    out[..., 0::2, :] = e
+    out[..., 1::2, :] = o
+    return out
+
+
+def _level53_inv_np(ll, lh, hl, hh, filt: str) -> np.ndarray:
+    """One 2-D reversible inverse level, vertical then horizontal
+    (= dwt53_pallas._level53_inv's transpose dance, without transposes)."""
+    lo = _unlift_rows_np(ll, hl, filt)
+    hi = _unlift_rows_np(lh, hh, filt)
+    x_t = _unlift_rows_np(lo.swapaxes(-1, -2), hi.swapaxes(-1, -2), filt)
+    return x_t.swapaxes(-1, -2)
+
+
+def _pad_rep(x: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Replicate-pad trailing dims to multiples (kernel _pad_dim_to)."""
+    eh = -x.shape[-2] % mh
+    ew = -x.shape[-1] % mw
+    if not eh and not ew:
+        return x
+    pw = [(0, 0)] * (x.ndim - 2) + [(0, eh), (0, ew)]
+    return np.pad(x, pw, mode="edge")
+
+
+def _fit_rep(b: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Replicate-pad-then-crop to exactly (h, w) (kernel band prep)."""
+    if b.shape[-2] < h:
+        b = np.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, h - b.shape[-2]), (0, 0)], mode="edge")
+    if b.shape[-1] < w:
+        b = np.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, 0), (0, w - b.shape[-1])], mode="edge")
+    return b[..., :h, :w]
+
+
+def _tiled53_pass_inv(x: np.ndarray, dets, filt: str, orig_k: int) -> np.ndarray:
+    """Inverse one tile-local pass: ``len(dets)`` levels, coarse tile caps
+    derived from the encoder's FULL pass depth ``orig_k`` so the edge-clamp
+    boundaries land where the forward transform clamped (the
+    idwt53_multilevel_pallas contract)."""
+    k = len(dets)
+    th_c = min(x.shape[-2], _TILE_H >> orig_k)
+    tw_c = min(x.shape[-1], _TILE_W >> orig_k)
+    x = _pad_rep(x, th_c, tw_c)
+    c, chp, cwp = x.shape
+    bands = []
+    for idx in range(k):
+        lvl = k - idx
+        m = 1 << idx
+        bands.append(tuple(
+            _fit_rep(b.astype(np.int32), chp * m, cwp * m) for b in dets[lvl - 1]
+        ))
+    unit = 1 << k
+    out = np.empty((c, chp * unit, cwp * unit), np.int32)
+    for ti in range(chp // th_c):
+        for tj in range(cwp // tw_c):
+            t = x[:, ti * th_c : (ti + 1) * th_c, tj * tw_c : (tj + 1) * tw_c]
+            for idx in range(k):
+                m = 1 << idx
+                hh_, ww_ = th_c * m, tw_c * m
+                lh, hl, hb = (
+                    b[:, ti * hh_ : (ti + 1) * hh_, tj * ww_ : (tj + 1) * ww_]
+                    for b in bands[idx]
+                )
+                t = _level53_inv_np(t, lh, hl, hb, filt)
+            u = th_c * unit
+            v = tw_c * unit
+            out[:, ti * u : (ti + 1) * u, tj * v : (tj + 1) * v] = t
+    return out
+
+
 def _rows_inv(inv, s, d):
     return inv(s.swapaxes(-1, -2), d.swapaxes(-1, -2)).swapaxes(-1, -2)
 
@@ -240,23 +329,34 @@ def _emit_native_np(stream, x: np.ndarray) -> np.ndarray:
 
 
 # measured host decode throughput (MP/s), EMA over real host_decode calls —
-# the other half of decode_folder's cost model. The prior is deliberately
-# conservative (a cold first frame pays page faults + band copies).
-_host_mps: float | None = None
+# the other half of decode_folder's cost model. Tracked PER PATH: the
+# native haar kernels run ~20x faster than the numpy tile-local 5/3, so a
+# shared estimate would let one family's measurements misroute the other.
+# Priors are deliberately conservative (a cold first frame pays page
+# faults + band copies).
+_host_mps: dict[str, float] = {}
 _MPS_ALPHA = 0.4
-_MPS_PRIOR = 40.0
+_MPS_PRIOR = {"haar": 40.0, "tiled53": 4.0, "lifting": 4.0}
 
 
-def measured_mp_per_s() -> float:
-    return _host_mps if _host_mps is not None else _MPS_PRIOR
+def _rate_kind(stream) -> str:
+    if stream.wavelet in ("haar", "haar_int"):
+        return "haar"
+    if stream.wavelet in ("legall5.3", "cdf53") and stream.layout == "tiled" and stream.bit_depth == 8:
+        return "tiled53"
+    return "lifting"
 
 
-def _record_mps(mp: float, seconds: float) -> None:
-    global _host_mps
+def measured_mp_per_s(kind: str = "haar") -> float:
+    return _host_mps.get(kind, _MPS_PRIOR.get(kind, 4.0))
+
+
+def _record_mps(kind: str, mp: float, seconds: float) -> None:
     if seconds <= 0 or mp < 0.25:
         return
     r = mp / seconds
-    _host_mps = r if _host_mps is None else (_MPS_ALPHA * r + (1 - _MPS_ALPHA) * _host_mps)
+    prev = _host_mps.get(kind)
+    _host_mps[kind] = r if prev is None else (_MPS_ALPHA * r + (1 - _MPS_ALPHA) * prev)
 
 
 def supported(stream) -> bool:
@@ -266,6 +366,8 @@ def supported(stream) -> bool:
         return False
     if stream.wavelet in ("haar", "haar_int"):
         return True
+    if stream.wavelet in ("legall5.3", "cdf53") and stream.bit_depth == 8:
+        return True  # tiled: numpy mirror of the tile-local kernel
     return is_integer_wavelet(stream.wavelet) and stream.layout == "global"
 
 
@@ -342,6 +444,25 @@ def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5,
                     lh, hl, hh = (_deq(b, st[i], recon_offset) for i, b in enumerate(bands))
                     x = _haar_level_f32(x, lh, hl, hh)
             hi = max(lo, tl)
+    elif stream.wavelet in ("legall5.3", "cdf53") and stream.layout == "tiled" and stream.bit_depth == 8:
+        # tile-local reversible 5/3 (JPEG2000 independent tiles): mirror the
+        # fused kernel pass structure + tile grid exactly
+        details = _widen_div_int_np(stream)
+        x = _3d(ll).astype(np.int32)
+        sizes = _pass_sizes(stream.levels)
+        hi = stream.levels
+        for k in reversed(sizes):
+            lo = hi - k
+            if hi <= tl:
+                break
+            use = [details[i] for i in range(max(lo, tl), hi)]
+            ch, cw = np.asarray(use[-1][0]).shape[-2], np.asarray(use[-1][0]).shape[-1]
+            x = x[..., :ch, :cw]
+            x = _tiled53_pass_inv(
+                x, [tuple(_3d(np.asarray(b)) for b in bands) for bands in use],
+                "legall5.3", orig_k=k,
+            )
+            hi = max(lo, tl)
     elif stream.wavelet == "haar_int":
         details = _widen_div_int_np(stream)
         x = _3d(ll).astype(np.int32)
@@ -372,5 +493,5 @@ def host_decode(stream, emit_u8: bool = True, recon_offset: float = 0.5,
     out_h = -(-h // (1 << tl))
     out_w = -(-w // (1 << tl))
     out = x[..., :out_h, :out_w]
-    _record_mps(h * w / (1e6 * (1 << (2 * tl))), time.perf_counter() - t0)
+    _record_mps(_rate_kind(stream), h * w / (1e6 * (1 << (2 * tl))), time.perf_counter() - t0)
     return out
