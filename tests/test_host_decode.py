@@ -121,6 +121,23 @@ def test_legall53_tiled_lossless_bit_exact():
     )
 
 
+def test_native53_matches_numpy(monkeypatch):
+    """The C++ whole-plane 5/3 unlift (clamp groups = tiles) must equal the
+    per-tile numpy loop exactly, multi-tile and multi-pass."""
+    from wicca_tpu.native.rice import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    x = photo(1100, 1300, seed=70)
+    s = _host(encode(x, levels=4, wavelet="legall5.3"))
+    got_native = host_decode.host_decode(s)
+    monkeypatch.setenv("WICCA_TPU_NO_NATIVE_IDWT", "1")
+    got_numpy = host_decode.host_decode(s)
+    monkeypatch.delenv("WICCA_TPU_NO_NATIVE_IDWT")
+    np.testing.assert_array_equal(got_native, got_numpy)
+    np.testing.assert_array_equal(got_native, x)
+
+
 def test_unsupported_streams_raise():
     x = photo(256, 256, seed=18)
     s = _host(encode(x, levels=2, wavelet="bior4.4"))  # tiled float wavelet

@@ -224,6 +224,20 @@ def _fit_rep(b: np.ndarray, h: int, w: int) -> np.ndarray:
     return b[..., :h, :w]
 
 
+def _native_unlift(s: np.ndarray, d: np.ndarray, group: int, vertical: bool, filt: str) -> np.ndarray:
+    lib = _native_lib()
+    c, r, w = s.shape
+    out = np.empty((c, 2 * r, w) if vertical else (c, r, 2 * w), np.int32)
+    sp, scs, srs = _strides(s)
+    dp, dcs, drs = _strides(d)
+    op, ocs, ors = _strides(out)
+    fn = lib.wicca_unlift53_v if vertical else lib.wicca_unlift53_h
+    fn(ctypes.c_void_p(sp), srs, scs, ctypes.c_void_p(dp), drs, dcs,
+       ctypes.c_void_p(op), ors, ocs, c, r, w, group,
+       int(filt == "haar_int"), _NTHREADS)
+    return out
+
+
 def _tiled53_pass_inv(x: np.ndarray, dets, filt: str, orig_k: int) -> np.ndarray:
     """Inverse one tile-local pass: ``len(dets)`` levels, coarse tile caps
     derived from the encoder's FULL pass depth ``orig_k`` so the edge-clamp
@@ -242,6 +256,17 @@ def _tiled53_pass_inv(x: np.ndarray, dets, filt: str, orig_k: int) -> np.ndarray
             _fit_rep(b.astype(np.int32), chp * m, cwp * m) for b in dets[lvl - 1]
         ))
     unit = 1 << k
+    if _use_native():
+        # whole-plane native levels: clamp groups reproduce the independent
+        # tiles, so this equals the per-tile loop below (pinned by
+        # test_native53_matches_numpy)
+        for idx in range(k):
+            m = 1 << idx
+            lh, hl, hh = bands[idx]
+            lo = _native_unlift(x, hl, th_c * m, True, filt)
+            hi = _native_unlift(lh, hh, th_c * m, True, filt)
+            x = _native_unlift(lo, hi, tw_c * m, False, filt)
+        return x
     out = np.empty((c, chp * unit, cwp * unit), np.int32)
     for ti in range(chp // th_c):
         for tj in range(cwp // tw_c):

@@ -247,3 +247,140 @@ void wicca_idwt_haar_int_level(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tile-local reversible 5/3 / S-transform inverse lifting for the host
+// decode of lossless streams (codec/host_decode.py numpy mirror is the
+// reference; integer ops, so equality is exact by construction — still
+// pinned by tests/test_host_decode.py::test_native53_matches_numpy).
+// Clamp groups of `group` rows/cols reproduce the independent-tile edges.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// vertical inverse over row pairs: s, d (C, R, W) -> out (C, 2R, W);
+// neighbor taps clamp at every `group` rows (tile boundaries).
+template <bool HAAR>
+void unlift_v_rows(const int32_t* s, size_t s_rs, size_t s_cs,
+                   const int32_t* d, size_t d_rs, size_t d_cs,
+                   int32_t* out, size_t o_rs, size_t o_cs,
+                   size_t C, size_t R, size_t W, size_t group,
+                   size_t r0, size_t r1) {
+  for (size_t c = 0; c < C; ++c) {
+    const int32_t* sc = s + c * s_cs;
+    const int32_t* dc = d + c * d_cs;
+    int32_t* oc = out + c * o_cs;
+    // pass 1: e rows (need d[n-1] clamped at the tile top)
+    for (size_t n = r0; n < r1; ++n) {
+      const int32_t* srow = sc + n * s_rs;
+      const int32_t* drow = dc + n * d_rs;
+      int32_t* erow = oc + (2 * n) * o_rs;
+      if (HAAR) {
+        for (size_t j = 0; j < W; ++j) erow[j] = srow[j] - (drow[j] >> 1);
+      } else {
+        size_t top = n - (n % group);
+        const int32_t* dprev = dc + (n > top ? n - 1 : n) * d_rs;
+        for (size_t j = 0; j < W; ++j)
+          erow[j] = srow[j] - ((dprev[j] + drow[j] + 2) >> 2);
+      }
+    }
+    // pass 2: o rows (need e[n+1] clamped at the tile bottom)
+    for (size_t n = r0; n < r1; ++n) {
+      const int32_t* drow = dc + n * d_rs;
+      const int32_t* erow = oc + (2 * n) * o_rs;
+      int32_t* orow = oc + (2 * n + 1) * o_rs;
+      if (HAAR) {
+        for (size_t j = 0; j < W; ++j) orow[j] = drow[j] + erow[j];
+      } else {
+        size_t bot = n - (n % group) + group - 1;
+        if (bot >= R) bot = R - 1;
+        const int32_t* enext = oc + (2 * (n < bot ? n + 1 : n)) * o_rs;
+        for (size_t j = 0; j < W; ++j)
+          orow[j] = drow[j] + ((erow[j] + enext[j]) >> 1);
+      }
+    }
+  }
+}
+
+// horizontal inverse over column pairs: s, d (C, H, WW) -> out (C, H, 2WW);
+// neighbor taps clamp at every `group` columns.
+template <bool HAAR>
+void unlift_h_rows(const int32_t* s, size_t s_rs, size_t s_cs,
+                   const int32_t* d, size_t d_rs, size_t d_cs,
+                   int32_t* out, size_t o_rs, size_t o_cs,
+                   size_t C, size_t H, size_t WW, size_t group,
+                   size_t r0, size_t r1, std::vector<int32_t>& scratch) {
+  scratch.resize(WW);
+  int32_t* e = scratch.data();
+  for (size_t c = 0; c < C; ++c) {
+    const int32_t* sc = s + c * s_cs;
+    const int32_t* dc = d + c * d_cs;
+    int32_t* oc = out + c * o_cs;
+    for (size_t n = r0; n < r1; ++n) {
+      const int32_t* srow = sc + n * s_rs;
+      const int32_t* drow = dc + n * d_rs;
+      int32_t* orow = oc + n * o_rs;
+      if (HAAR) {
+        for (size_t j = 0; j < WW; ++j) {
+          int32_t ev = srow[j] - (drow[j] >> 1);
+          orow[2 * j] = ev;
+          orow[2 * j + 1] = drow[j] + ev;
+        }
+      } else {
+        for (size_t j = 0; j < WW; ++j) {
+          size_t left = j - (j % group);
+          int32_t dprev = drow[j > left ? j - 1 : j];
+          e[j] = srow[j] - ((dprev + drow[j] + 2) >> 2);
+        }
+        for (size_t j = 0; j < WW; ++j) {
+          size_t right = j - (j % group) + group - 1;
+          if (right >= WW) right = WW - 1;
+          int32_t enext = e[j < right ? j + 1 : j];
+          orow[2 * j] = e[j];
+          orow[2 * j + 1] = drow[j] + ((e[j] + enext) >> 1);
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// filt: 0 = legall5.3, 1 = haar_int (S-transform). Strides in int32
+// ELEMENTS. Threads split on complete clamp groups so the e[n+1] tap never
+// crosses a thread boundary mid-tile.
+void wicca_unlift53_v(const int32_t* s, size_t s_rs, size_t s_cs,
+                      const int32_t* d, size_t d_rs, size_t d_cs,
+                      int32_t* out, size_t o_rs, size_t o_cs,
+                      size_t C, size_t R, size_t W, size_t group,
+                      int filt_haar, int nthreads) {
+  if (group == 0 || group > R) group = R;
+  size_t ngroups = (R + group - 1) / group;
+  run_rows(ngroups, nthreads, [&](size_t g0, size_t g1, size_t) {
+    size_t r0 = g0 * group;
+    size_t r1 = g1 * group < R ? g1 * group : R;
+    if (filt_haar)
+      unlift_v_rows<true>(s, s_rs, s_cs, d, d_rs, d_cs, out, o_rs, o_cs, C, R, W, group, r0, r1);
+    else
+      unlift_v_rows<false>(s, s_rs, s_cs, d, d_rs, d_cs, out, o_rs, o_cs, C, R, W, group, r0, r1);
+  });
+}
+
+void wicca_unlift53_h(const int32_t* s, size_t s_rs, size_t s_cs,
+                      const int32_t* d, size_t d_rs, size_t d_cs,
+                      int32_t* out, size_t o_rs, size_t o_cs,
+                      size_t C, size_t H, size_t WW, size_t group,
+                      int filt_haar, int nthreads) {
+  if (group == 0 || group > WW) group = WW;
+  run_rows(H, nthreads, [&](size_t r0, size_t r1, size_t) {
+    std::vector<int32_t> scratch;
+    if (filt_haar)
+      unlift_h_rows<true>(s, s_rs, s_cs, d, d_rs, d_cs, out, o_rs, o_cs, C, H, WW, group, r0, r1, scratch);
+    else
+      unlift_h_rows<false>(s, s_rs, s_cs, d, d_rs, d_cs, out, o_rs, o_cs, C, H, WW, group, r0, r1, scratch);
+  });
+}
+
+}  // extern "C"

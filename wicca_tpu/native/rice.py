@@ -34,7 +34,7 @@ def _load():
         if os.environ.get("WICCA_TPU_NO_NATIVE"):
             return None
         try:
-            srcs = [_DIR / "entropy.cpp", _DIR / "pack.cpp"]
+            srcs = [_DIR / "entropy.cpp", _DIR / "pack.cpp", _DIR / "idwt.cpp"]
             if not _LIB_PATH.exists() or any(
                 _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs
             ):
@@ -77,6 +77,10 @@ def _load():
                 [_v, _z, _z] + [_v, _z, _z] * 3 + [_i, _z, _z, _z, _v, _z, _z, _i, _i]
             )
             lib.wicca_idwt_haar_int_level.restype = None
+            for name in ("wicca_unlift53_v", "wicca_unlift53_h"):
+                fn = getattr(lib, name)
+                fn.argtypes = [_v, _z, _z, _v, _z, _z, _v, _z, _z, _z, _z, _z, _z, _i, _i]
+                fn.restype = None
             _lib = lib
         except Exception as e:  # noqa: BLE001
             logging.warning(f"native entropy codec unavailable ({e}); using numpy fallback")
