@@ -158,7 +158,7 @@ def _cmd_encode_batch(args) -> int:
         spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain), wavelet=args.wavelet,
         color=args.color, chroma_gain=args.chroma_gain, bit_depth=args.bit_depth,
         codec=args.codec, quality_layers=args.quality_layers, threads=args.threads,
-        keep_alpha=args.keep_alpha, resume=args.resume, metadata=meta,
+        keep_alpha=args.keep_alpha, resume=args.resume, metadata=meta, path=args.path,
     )
     print(json.dumps(metrics))
     return 0
@@ -455,6 +455,8 @@ def build_parser() -> argparse.ArgumentParser:
     eb.add_argument("--threads", type=int, default=8)
     eb.add_argument("--meta", action="append", default=[], metavar="KEY=VALUE",
                     help="attach the same metadata items to every produced stream (repeatable)")
+    eb.add_argument("--path", default="auto", choices=["auto", "host", "device"],
+                    help="transform backend: auto = measured-bandwidth cost model")
     eb.set_defaults(fn=_cmd_encode_batch)
 
     db = sub.add_parser("decode-batch", help="decode a folder of .wct files to images")

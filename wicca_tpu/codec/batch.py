@@ -31,6 +31,34 @@ from wicca_tpu.core.quant import QuantSpec
 from wicca_tpu.data.loader import from_planar, list_images, load_image, load_image_raw, to_planar
 
 
+def _encode_route(img: np.ndarray, wavelet: str, color: str, bit_depth: int | None,
+                  keep_alpha: bool, path: str) -> str:
+    """Host-vs-device routing for one encode, by measured bandwidths (the
+    forward twin of :func:`_decode_route`): device cost = full-resolution
+    H2D + packed code fetch over the measured link; host cost = megapixels
+    / measured host forward-cascade rate (bit-identical streams either way,
+    tests/test_host_encode.py). WICCA_TPU_ENCODE_PATH overrides."""
+    import os
+
+    from wicca_tpu.codec import host_encode, transfer
+
+    path = os.environ.get("WICCA_TPU_ENCODE_PATH", path).lower()
+    if path not in ("host", "device", "auto"):
+        raise ValueError(f"encode path must be host|device|auto, got {path!r}")
+    if not host_encode.supported_encode(img, wavelet, color, bit_depth, keep_alpha):
+        return "device"
+    if path != "auto":
+        return path
+    link = transfer.link_bandwidth(probe=True)
+    if link is None or link != link or link == float("inf"):
+        return "device"
+    mp = img.shape[0] * img.shape[1] / 1e6
+    # up = raw planes; down = packed detail codes (~0.65x the plane bytes)
+    device_s = img.nbytes * (1.0 + (0.65 if transfer.enabled() else 1.0)) / link + 0.002
+    host_s = mp / host_encode.measured_mp_per_s()
+    return "host" if host_s < device_s else "device"
+
+
 def encode_folder(
     in_dir: str | Path,
     out_dir: str | Path,
@@ -49,6 +77,7 @@ def encode_folder(
     metadata: dict[str, bytes | str] | None = None,
     ll_codec: str = "raw",
     ll_step: float = 0.125,
+    path: str = "auto",
 ) -> dict:
     """Encode every image in ``in_dir`` to ``<out_dir>/<stem>.wct``.
 
@@ -78,7 +107,9 @@ def encode_folder(
         loader = load_image
 
     t0 = time.perf_counter()
-    n_ok, mp_total, bytes_in, bytes_out = 0, 0.0, 0, 0
+    n_ok, n_host, mp_total, bytes_in, bytes_out = 0, 0, 0.0, 0, 0
+    from wicca_tpu.codec import host_encode
+
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as pool:
         loads: list = []
         writes: list = []
@@ -92,29 +123,37 @@ def encode_folder(
 
         _fill()
         while loads:
-            path, fut = loads.pop(0)
+            src, fut = loads.pop(0)
             _fill()
             img = fut.result()
             if img is None:
-                logging.warning(f"skipping unreadable image {path}")
+                logging.warning(f"skipping unreadable image {src}")
                 continue
-            stream = encode(
-                to_planar(img), levels=levels, spec=spec, wavelet=wavelet,
-                color=color, chroma_gain=chroma_gain, bit_depth=bit_depth,
-            )
+            route = _encode_route(img, wavelet, color, bit_depth, keep_alpha, path)
+            dst = out_dir / (src.stem + ".wct")
+            if route == "host":
+                # forward cascade on the host (native/idwt.cpp): the frame
+                # never crosses the link; .wct bytes are identical
+                stream = host_encode.host_encode(to_planar(img), levels=levels, spec=spec)
+                n_host += 1
+            else:
+                stream = encode(
+                    to_planar(img), levels=levels, spec=spec, wavelet=wavelet,
+                    color=color, chroma_gain=chroma_gain, bit_depth=bit_depth,
+                )
             if metadata:
                 from wicca_tpu.codec.pipeline import with_metadata
 
                 stream = with_metadata(stream, metadata)
-            dst = out_dir / (path.stem + ".wct")
-            # the pool task pulls the planes through the packed-transfer
-            # fast path (codec/transfer.py: one fused chunk-parallel fetch,
-            # ~2x fewer tunnel bytes, bit-exact) and then entropy-codes +
-            # writes; disk bytes are identical to a plain fetch
+            # device streams: the pool task pulls the planes through the
+            # packed-transfer fast path (codec/transfer.py: one fused
+            # chunk-parallel fetch, ~2x fewer tunnel bytes, bit-exact) and
+            # then entropy-codes + writes; disk bytes are identical to a
+            # plain fetch. Host streams skip the fetch (already numpy).
             writes.append(pool.submit(
-                lambda s, d: save_wct(fetch_stream(s), d, threads, codec, quality_layers,
-                                      ll_codec=ll_codec, ll_step=ll_step),
-                stream, str(dst),
+                lambda s, d, dev: save_wct(fetch_stream(s) if dev else s, d, threads, codec,
+                                           quality_layers, ll_codec=ll_codec, ll_step=ll_step),
+                stream, str(dst), route == "device",
             ))
             n_ok += 1
             mp_total += img.shape[0] * img.shape[1] / 1e6
@@ -131,6 +170,8 @@ def encode_folder(
         "bytes_in": bytes_in,
         "bytes_out": bytes_out,
         "ratio": round(bytes_in / max(bytes_out, 1), 3),
+        "host_encoded": n_host,
+        "device_encoded": n_ok - n_host,
     }
 
 

@@ -384,3 +384,103 @@ void wicca_unlift53_h(const int32_t* s, size_t s_rs, size_t s_cs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Forward fused Haar level + deadzone quantize for the host ENCODE path
+// (codec/host_encode.py). Exactness: for uint8 sources every value in the
+// cascade is an integer raw sum scaled by an exact power of two, so
+// float(raw) * scale is exact and the only rounding is the final
+// band * (1/step) multiply — the same single rounding the device kernel
+// performs (ops/dwt_pallas._quant_band). u8 emit of q uses the same
+// clip-then-truncate cast.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename IN, typename Q>
+void haar_fwd_rows(const IN* x, size_t x_rs, size_t x_cs,
+                   int32_t* ll, size_t ll_rs, size_t ll_cs,
+                   Q* lh, size_t lh_rs, size_t lh_cs,
+                   Q* hl, size_t hl_rs, size_t hl_cs,
+                   Q* hh, size_t hh_rs, size_t hh_cs,
+                   float scale, float r_lh, float r_hl, float r_hh, int qmax,
+                   size_t C, size_t HH, size_t WW, size_t h0, size_t h1) {
+  float fq = static_cast<float>(qmax);
+  auto quant = [&](int32_t v, float recip) -> Q {
+    float band = static_cast<float>(v) * scale;
+    float qf = band * recip;
+    if (qf > fq) qf = fq;
+    if (qf < -fq) qf = -fq;
+    return static_cast<Q>(static_cast<int32_t>(qf));
+  };
+  for (size_t c = 0; c < C; ++c) {
+    const IN* xc = x + c * x_cs;
+    int32_t* llc = ll + c * ll_cs;
+    Q* lhc = lh + c * lh_cs;
+    Q* hlc = hl + c * hl_cs;
+    Q* hhc = hh + c * hh_cs;
+    for (size_t i = h0; i < h1; ++i) {
+      const IN* r0 = xc + (2 * i) * x_rs;
+      const IN* r1 = xc + (2 * i + 1) * x_rs;
+      int32_t* llr = llc + i * ll_rs;
+      Q* lhr = lhc + i * lh_rs;
+      Q* hlr = hlc + i * hl_rs;
+      Q* hhr = hhc + i * hh_rs;
+      for (size_t j = 0; j < WW; ++j) {
+        int32_t a = static_cast<int32_t>(r0[2 * j]);
+        int32_t b = static_cast<int32_t>(r0[2 * j + 1]);
+        int32_t cc = static_cast<int32_t>(r1[2 * j]);
+        int32_t dd = static_cast<int32_t>(r1[2 * j + 1]);
+        int32_t rs_e = a + cc;  // row-pair sums (vertical), even/odd columns
+        int32_t rs_o = b + dd;
+        int32_t rd_e = a - cc;
+        int32_t rd_o = b - dd;
+        llr[j] = rs_e + rs_o;
+        lhr[j] = quant(rs_e - rs_o, r_lh);
+        hlr[j] = quant(rd_e + rd_o, r_hl);
+        hhr[j] = quant(rd_e - rd_o, r_hh);
+      }
+    }
+  }
+  (void)HH;
+}
+
+}  // namespace
+
+extern "C" {
+
+// in_u8: 1 = uint8 input, 0 = int32 raw input. q16: 0 = int8 codes, 1 =
+// int16. Output raw LL is int32 (scale applies at the NEXT level's
+// emission; the final LL scale happens in Python). Strides in elements.
+void wicca_dwt_haar_fwd_level(
+    const void* x, size_t x_rs, size_t x_cs, int in_u8,
+    int32_t* ll, size_t ll_rs, size_t ll_cs,
+    void* lh, size_t lh_rs, size_t lh_cs,
+    void* hl, size_t hl_rs, size_t hl_cs,
+    void* hh, size_t hh_rs, size_t hh_cs,
+    int q16, float scale, float r_lh, float r_hl, float r_hh, int qmax,
+    size_t C, size_t HH, size_t WW, int nthreads) {
+  run_rows(HH, nthreads, [&](size_t h0, size_t h1, size_t) {
+    if (in_u8) {
+      if (q16)
+        haar_fwd_rows<uint8_t, int16_t>(static_cast<const uint8_t*>(x), x_rs, x_cs, ll, ll_rs, ll_cs,
+            static_cast<int16_t*>(lh), lh_rs, lh_cs, static_cast<int16_t*>(hl), hl_rs, hl_cs,
+            static_cast<int16_t*>(hh), hh_rs, hh_cs, scale, r_lh, r_hl, r_hh, qmax, C, HH, WW, h0, h1);
+      else
+        haar_fwd_rows<uint8_t, int8_t>(static_cast<const uint8_t*>(x), x_rs, x_cs, ll, ll_rs, ll_cs,
+            static_cast<int8_t*>(lh), lh_rs, lh_cs, static_cast<int8_t*>(hl), hl_rs, hl_cs,
+            static_cast<int8_t*>(hh), hh_rs, hh_cs, scale, r_lh, r_hl, r_hh, qmax, C, HH, WW, h0, h1);
+    } else {
+      if (q16)
+        haar_fwd_rows<int32_t, int16_t>(static_cast<const int32_t*>(x), x_rs, x_cs, ll, ll_rs, ll_cs,
+            static_cast<int16_t*>(lh), lh_rs, lh_cs, static_cast<int16_t*>(hl), hl_rs, hl_cs,
+            static_cast<int16_t*>(hh), hh_rs, hh_cs, scale, r_lh, r_hl, r_hh, qmax, C, HH, WW, h0, h1);
+      else
+        haar_fwd_rows<int32_t, int8_t>(static_cast<const int32_t*>(x), x_rs, x_cs, ll, ll_rs, ll_cs,
+            static_cast<int8_t*>(lh), lh_rs, lh_cs, static_cast<int8_t*>(hl), hl_rs, hl_cs,
+            static_cast<int8_t*>(hh), hh_rs, hh_cs, scale, r_lh, r_hl, r_hh, qmax, C, HH, WW, h0, h1);
+    }
+  });
+}
+
+}  // extern "C"

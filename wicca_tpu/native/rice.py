@@ -81,6 +81,10 @@ def _load():
                 fn = getattr(lib, name)
                 fn.argtypes = [_v, _z, _z, _v, _z, _z, _v, _z, _z, _z, _z, _z, _z, _i, _i]
                 fn.restype = None
+            lib.wicca_dwt_haar_fwd_level.argtypes = (
+                [_v, _z, _z, _i] + [_v, _z, _z] * 4 + [_i, _f, _f, _f, _f, _i, _z, _z, _z, _i]
+            )
+            lib.wicca_dwt_haar_fwd_level.restype = None
             _lib = lib
         except Exception as e:  # noqa: BLE001
             logging.warning(f"native entropy codec unavailable ({e}); using numpy fallback")
