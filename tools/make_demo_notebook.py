@@ -325,6 +325,20 @@ em = encode_folder(data_folder, workdir / "wct", levels=4,
 dm = decode_folder(workdir / "wct", workdir / "decoded")
 {k: em[k] for k in ("images", "mp_per_s", "ratio")}, dm["images"]
 """),
+    md("### Host-vs-device routing\n\nBoth folder directions (and the"
+       " harness's icon stage) pick their backend per frame from MEASURED"
+       " bandwidths: on a tunnel-attached chip the transform runs on the"
+       " host (bit-identical kernels in native C++, `native/idwt.cpp`);"
+       " on a PCIe-attached chip the device wins. Force a route with"
+       " `path='host'|'device'` to see both produce the same bytes."),
+    code("""
+import hashlib
+eh = encode_folder(data_folder, workdir / "wct_h", levels=4,
+                   spec=QuantSpec(base_step=2.0), path="host")
+hd = hashlib.sha256((workdir / "wct_h" / (sorted(p.stem for p in (workdir / "wct_h").glob("*.wct"))[0] + ".wct")).read_bytes()).hexdigest()
+dd = hashlib.sha256((workdir / "wct" / (sorted(p.stem for p in (workdir / "wct").glob("*.wct"))[0] + ".wct")).read_bytes()).hexdigest()
+{"routes": (eh["host_encoded"], em["device_encoded"] + em["host_encoded"]), "bytes_identical": hd == dd}
+"""),
     md("### Rate–distortion tooling"),
     code("""
 from wicca_tpu.codec import rd_curve

@@ -260,6 +260,17 @@ class ClassifierProcessor:
         spec = self.codec_spec or QuantSpec()
         planar = to_planar(image_hwc)
         color = self.codec_color if planar.ndim == 3 and planar.shape[0] == 3 else "none"
+        # same measured-bandwidth routing as decode_folder/encode_folder:
+        # on a tunnel-bound chip the whole roundtrip stays on the host
+        # (bit-identical streams and reconstructions)
+        from wicca_tpu.codec import host_decode, host_encode
+
+        if (
+            host_encode.supported_encode(planar, self.codec_wavelet, color, 8)
+            and _icon_route(planar.nbytes, planar.shape[-2] * planar.shape[-1] / 1e6) == "host"
+        ):
+            stream = host_encode.host_encode(planar, levels=depth, spec=spec)
+            return from_planar(host_decode.host_decode(stream))
         rec = np.asarray(
             decode(
                 encode(planar, levels=depth, spec=spec, wavelet=self.codec_wavelet, color=color),
