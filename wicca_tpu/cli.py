@@ -108,12 +108,25 @@ def _cmd_encode(args) -> int:
         )
         note = f"  [rate control: step {info['step']:.3g}, {info['psnr_db']} dB, {info['probes']} probes]"
     else:
-        stream = encode(
-            planar, levels=args.levels,
-            spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain),
-            wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
-            bit_depth=args.bit_depth,
-        )
+        # measured-bandwidth routing (the folder-pipeline cost model): on a
+        # tunnel-bound chip the plain encode runs host-side, byte-identical
+        from wicca_tpu.codec.batch import _encode_route
+        from wicca_tpu.codec.host_encode import host_encode
+
+        if _encode_route(
+            image, args.wavelet, args.color, args.bit_depth, args.keep_alpha, "auto",
+        ) == "host":
+            stream = host_encode(
+                planar, levels=args.levels,
+                spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain),
+            )
+        else:
+            stream = encode(
+                planar, levels=args.levels,
+                spec=QuantSpec(base_step=args.step, hh_gain=args.hh_gain),
+                wavelet=args.wavelet, color=args.color, chroma_gain=args.chroma_gain,
+                bit_depth=args.bit_depth,
+            )
     if args.roi is not None:
         from wicca_tpu.codec import apply_roi
 
@@ -190,9 +203,17 @@ def _cmd_decode(args) -> int:
     if args.region is not None and args.at_level:
         print("error: --region and --at-level are mutually exclusive", file=sys.stderr)
         return 2
+    from wicca_tpu.codec.batch import _decode_route
+
     if args.region is not None:
         r0, r1, c0, c1 = args.region
         rec = np.asarray(decode_region(stream, r0, r1, c0, c1, emit_u8=True))
+    elif _decode_route(stream, args.at_level, "auto") == "host":
+        # measured-bandwidth routing (the folder-pipeline cost model): on a
+        # tunnel-bound chip the inverse runs host-side, bit-identically
+        from wicca_tpu.codec.host_decode import host_decode
+
+        rec = host_decode(stream, target_level=min(args.at_level, stream.levels))
     elif args.at_level:
         # resolution-progressive: 1/2**r output from the coarse subbands only
         rec = np.asarray(decode_at_level(stream, args.at_level, emit_u8=True))
