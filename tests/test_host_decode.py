@@ -249,6 +249,11 @@ def test_decode_route_cost_model(monkeypatch):
     monkeypatch.setattr(transfer, "link_bandwidth", lambda probe=False: 40e6)
     assert batch._decode_route(s, 1, "auto") == "host"
     assert batch._decode_route(s, 0, "device") == "device"
+    # ict streams: auto stays deterministic (device); host only when forced
+    s_ict = _host(encode(photo(768, 1024, seed=41), levels=3,
+                         spec=QuantSpec(base_step=1.0), color="ict"))
+    assert batch._decode_route(s_ict, 0, "auto") == "device"
+    assert batch._decode_route(s_ict, 0, "host") == "host"
 
 
 def test_grayscale_and_alpha():
