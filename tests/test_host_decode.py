@@ -263,3 +263,17 @@ def test_grayscale_and_alpha():
     rgba = photo(128, 160, seed=20, channels=4)
     s4 = _host(encode(rgba, levels=2, wavelet="haar_int", color="rct"))
     np.testing.assert_array_equal(host_decode.host_decode(s4), np.asarray(decode(s4, emit_u8=True)))
+
+
+def test_supported_gated_on_transposed_detail_storage(monkeypatch):
+    """The host mirrors assume (h, w)-oriented detail bands; if the fused
+    kernels re-enable transposed pass-local storage (_T_LVLS > 0), haar
+    streams must fall back to the device path instead of mis-orienting
+    bands (CLAUDE.md invariant: all consumers honor detail_is_transposed)."""
+    from wicca_tpu.ops import dwt_pallas
+
+    x = photo(64, 96, seed=50)
+    s = _host(encode(x, levels=2, spec=QuantSpec(base_step=1.0)))
+    assert host_decode.supported(s)
+    monkeypatch.setattr(dwt_pallas, "_T_LVLS", 2)
+    assert not host_decode.supported(s)

@@ -273,3 +273,29 @@ def test_cli_encode_pcrd_target_bpp(tmp_path, capsys):
     assert 8.0 * wct.stat().st_size / (h * w) <= 1.02
     assert main(["decode", str(wct), str(tmp_path / "rec.png")]) == 0
     assert main(["info", str(wct)]) == 0
+
+
+def test_measure_ict_chroma_weighting_batched():
+    """The chroma_gain^2 image-domain weighting must handle leading batch
+    dims: per-channel SSE is summed over every axis, not coerced through a
+    scalar float() (which raised on (N, 3, h, w) planes)."""
+    x1 = photo(64, 96, seed=60)
+    xb = np.stack([x1, photo(64, 96, seed=61)])  # (2, 3, H, W)
+    sb = _host(encode(xb, levels=2, spec=QuantSpec(base_step=0.5),
+                      color="ict", chroma_gain=2.0))
+    tables = rd.measure(sb)
+    assert len(tables) == 2 * 3  # levels * bands
+    assert all(d >= 0 for t in tables for d in t.dists)
+    # batched distortion == sum of the per-image distortions (the weighting
+    # is per-channel, so batching must just add images up)
+    per_img = [
+        rd.measure(_host(encode(xi, levels=2, spec=QuantSpec(base_step=0.5),
+                                color="ict", chroma_gain=2.0)))
+        for xi in xb
+    ]
+    for i, tb in enumerate(tables):
+        want = per_img[0][i].dists[0] + per_img[1][i].dists[0]
+        assert tb.dists[0] == pytest.approx(want, rel=1e-6)
+    # truncation rides the batched tables end-to-end
+    small = rd.truncate(sb, target_bpp=1.0)
+    assert small.band_div and np.asarray(decode(small, emit_u8=True)).shape == xb.shape

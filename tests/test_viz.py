@@ -83,3 +83,12 @@ def test_plot_compare_metrics_reference_positional_form():
 def test_show_image_vs_icon_validates():
     with pytest.raises(ValueError):
         show_image_vs_icon(np.zeros((0, 4, 3), np.uint8), 2)
+
+
+def test_plot_compare_metrics_requires_metrics(comparison_df):
+    """Metrics are required in BOTH calling conventions; omitting them must
+    raise a clear TypeError, not a confusing downstream failure."""
+    with pytest.raises(TypeError, match="two metrics"):
+        plot_compare_metrics(comparison_df)
+    with pytest.raises(TypeError, match="two metrics"):
+        plot_compare_metrics(["A", "B"], [1.0, 2.0])

@@ -29,9 +29,11 @@ Exactness contract (pinned by tests/test_host_decode.py):
   uint8 output can differ by at most 1 gray level on bin-edge pixels, the
   same variation JPEG2000 part-1 permits between conforming decoders.
 
-Tiled wide wavelets (legall5.3/cdf97/db2 with layout='tiled') are decoded
-by the tile-local Pallas kernels only; :func:`supported` returns False and
-callers fall back to the device path.
+Tiled reversible 5/3 (legall5.3/cdf53 at bit_depth 8) decodes on the host
+through a numpy/native mirror of the tile-local kernel grid; the remaining
+tiled wide wavelets (cdf97, db2, float tiles) are decoded by the Pallas
+kernels only — :func:`supported` returns False and callers fall back to
+the device path.
 """
 
 from __future__ import annotations
@@ -390,7 +392,13 @@ def supported(stream) -> bool:
     if stream.roi_shift:
         return False
     if stream.wavelet in ("haar", "haar_int"):
-        return True
+        # the host mirrors assume detail bands in spatial (h, w) orientation;
+        # if the fused kernels ever re-enable transposed pass-local storage
+        # (ops/dwt_pallas._T_LVLS > 0), fall back to the device path rather
+        # than silently mis-orienting bands (CLAUDE.md invariant)
+        from wicca_tpu.ops.dwt_pallas import _T_LVLS
+
+        return _T_LVLS == 0
     if stream.wavelet in ("legall5.3", "cdf53") and stream.bit_depth == 8:
         return True  # tiled: numpy mirror of the tile-local kernel
     return is_integer_wavelet(stream.wavelet) and stream.layout == "global"

@@ -342,11 +342,14 @@ def measure(
                 if chan_w is not None and err.ndim >= 3 and err.shape[-3] >= 3:
                     w = np.ones(err.shape[-3], np.float64)
                     w[:3] = chan_w
-                    sse = float((err * err).sum(axis=(-2, -1)) @ w)
+                    # sum over every axis (leading batch dims included)
+                    sse = float(((err * err).sum(axis=(-2, -1)) * w).sum())
                 else:
                     sse = float((err * err).sum())
                 dists.append(g * sse)
-                rates.append(len(_encode_plane(cd, codec)[1]))
+                # the entropy coder wants (h,w)/(planes,h,w): flatten any
+                # leading batch dims (rate is additive across sub-planes)
+                rates.append(len(_encode_plane(cd.reshape((-1,) + cd.shape[-2:]), codec)[1]))
                 divs.append(d)
                 if not np.any(cd):
                     break  # coarser divisors are identical all-zero planes
@@ -482,8 +485,22 @@ def truncate(
     # table; add its levels*3 bytes so the budget is an upper bound.
     # (quality-layer section headers added by save(..., quality_layers>1)
     # are deliberately excluded — layering happens after truncation.)
+    # Streams with leading batch dims flatten to one multi-plane stream for
+    # the estimate (the container stores a single u8 plane count).
+    est = stream
+    if np.asarray(stream.ll).ndim > 3:
+        ll3 = np.asarray(stream.ll)
+        ll3 = ll3.reshape((-1,) + ll3.shape[-2:])
+        est = dataclasses.replace(
+            stream,
+            ll=ll3,
+            details=tuple(
+                tuple(np.asarray(p).reshape((-1,) + np.asarray(p).shape[-2:]) for p in bands)
+                for bands in stream.details
+            ),
+        )
     overhead = (
-        len(serialize(stream, codec=codec, ll_codec=ll_codec, ll_step=ll_step))
+        len(serialize(est, codec=codec, ll_codec=ll_codec, ll_step=ll_step))
         - base_rate + stream.levels * 3
     )
     divs, rate, dist = allocate(tables, max(target_bytes - overhead, 0))

@@ -65,6 +65,30 @@ def _icon_route(nbytes: int, megapixels: float) -> str:
     return "host" if host_s < device_s else "device"
 
 
+def _roundtrip_route(nbytes: int, megapixels: float) -> str:
+    """Routing for the full encode+decode roundtrip (compare='reconstruction').
+
+    Unlike :func:`_icon_route` (one H2D, tiny icon back), the roundtrip pays
+    BOTH link directions (raw planes up, full-resolution u8 reconstruction
+    down via a plain fetch) and two host cascades, so it is priced with the
+    host_encode/host_decode measured rates (same cost-model family as
+    codec.batch._encode_route/_decode_route). Bit-identical either way;
+    WICCA_TPU_ICON_PATH forces host|device for the whole harness."""
+    import os
+
+    forced = os.environ.get("WICCA_TPU_ICON_PATH", "auto").lower()
+    if forced in ("host", "device"):
+        return forced
+    from wicca_tpu.codec import host_decode, host_encode, transfer
+
+    link = transfer.link_bandwidth(probe=True)
+    if link is None or link != link or link == float("inf"):
+        return "device"
+    device_s = 2.0 * nbytes / link + 0.004
+    host_s = megapixels / host_encode.measured_mp_per_s() + megapixels / host_decode.measured_mp_per_s("haar")
+    return "host" if host_s < device_s else "device"
+
+
 def _compute_icon(image_hwc: np.ndarray, depth: int) -> np.ndarray:
     """Depth-d icon of one HWC uint8 image, bit-exact vs the reference
     HaarCoder (SURVEY.md §2.3) on every route: the device kernel
@@ -267,7 +291,7 @@ class ClassifierProcessor:
 
         if (
             host_encode.supported_encode(planar, self.codec_wavelet, color, 8)
-            and _icon_route(planar.nbytes, planar.shape[-2] * planar.shape[-1] / 1e6) == "host"
+            and _roundtrip_route(planar.nbytes, planar.shape[-2] * planar.shape[-1] / 1e6) == "host"
         ):
             stream = host_encode.host_encode(planar, levels=depth, spec=spec)
             return from_planar(host_decode.host_decode(stream))

@@ -170,9 +170,14 @@ void haar_int_rows(const int32_t* ll, size_t ll_rs, size_t ll_cs,
   }
 }
 
+// Split [0, H) items across threads. `min_split` is the small-work cutoff in
+// ITEMS: callers iterating rows keep the default 64; callers iterating
+// coarser units (e.g. clamp GROUPS of hundreds of rows each in
+// wicca_unlift53_v) must pass a smaller cutoff or they silently serialize —
+// a 53 MP plane is only ~13 vertical tile groups.
 template <typename F>
-void run_rows(size_t H, int nthreads, F&& body) {
-  if (nthreads <= 1 || H < 64) {
+void run_rows(size_t H, int nthreads, F&& body, size_t min_split = 64) {
+  if (nthreads <= 1 || H < min_split) {
     body(0, H, 0);
     return;
   }
@@ -358,14 +363,16 @@ void wicca_unlift53_v(const int32_t* s, size_t s_rs, size_t s_cs,
                       int filt_haar, int nthreads) {
   if (group == 0 || group > R) group = R;
   size_t ngroups = (R + group - 1) / group;
-  run_rows(ngroups, nthreads, [&](size_t g0, size_t g1, size_t) {
+  // small-work cutoff on ROWS (not groups): a realistic plane has only a
+  // handful of 512-row tile groups, so the default cutoff would serialize it
+  run_rows(ngroups, R < 64 ? 1 : nthreads, [&](size_t g0, size_t g1, size_t) {
     size_t r0 = g0 * group;
     size_t r1 = g1 * group < R ? g1 * group : R;
     if (filt_haar)
       unlift_v_rows<true>(s, s_rs, s_cs, d, d_rs, d_cs, out, o_rs, o_cs, C, R, W, group, r0, r1);
     else
       unlift_v_rows<false>(s, s_rs, s_cs, d, d_rs, d_cs, out, o_rs, o_cs, C, R, W, group, r0, r1);
-  });
+  }, /*min_split=*/2);
 }
 
 void wicca_unlift53_h(const int32_t* s, size_t s_rs, size_t s_cs,

@@ -119,6 +119,13 @@ def plot_compare_metrics(comparison_df, x_metric=None, y_metric=None, title: str
       takes them (what ``extract_from_comparison`` output feeds); the
       reference's ``xlabel``/``ylabel`` defaults apply.
     """
+    if x_metric is None or y_metric is None:
+        # required in BOTH conventions; fail clearly instead of a confusing
+        # downstream TypeError/"no column None"
+        raise TypeError(
+            "plot_compare_metrics needs two metrics: either column names "
+            "(DataFrame form) or value sequences (reference form)"
+        )
     if not hasattr(comparison_df, "columns"):  # reference value-list form
         names = list(comparison_df)
         xs = np.asarray(list(x_metric), dtype=float)
