@@ -157,8 +157,12 @@ def test_wct4_codec_choices_roundtrip():
         np.testing.assert_array_equal(np.asarray(decode(back)), ref)
         sizes[codec] = len(blob)
     if "rc" in sizes:
-        # auto keeps the per-plane smaller of the two
-        assert sizes["auto"] <= min(sizes["rice"], sizes["rc"])
+        # auto is decode-cost-aware: never larger than rice, and within the
+        # _RC_MIN_WIN threshold of the unconditional-smaller rc stream
+        from wicca_tpu.codec.container import _RC_MIN_WIN
+
+        assert sizes["auto"] <= sizes["rice"]
+        assert sizes["auto"] <= sizes["rc"] / (1.0 - _RC_MIN_WIN) + 64
 
 
 def test_cdf53_alias_is_name_stable():
@@ -255,3 +259,31 @@ def test_layered_size_overhead_is_modest():
     flat = len(serialize(stream))
     layered = len(serialize(stream, quality_layers=3))
     assert layered < flat * 1.6, (flat, layered)
+
+
+def test_codec_auto_is_decode_cost_aware():
+    """auto picks rice on dense/noisy planes where rc's size win is marginal
+    (rc decodes ~5-6x slower), and rc on clustered deadzone planes where the
+    win is real (>= _RC_MIN_WIN)."""
+    from wicca_tpu.codec.container import _RC_MIN_WIN, _encode_plane
+    from wicca_tpu.native.rice import native_available, rc_encode, rice_encode
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(7)
+    dense = rng.integers(-40, 41, (3, 256, 256)).astype(np.int8)
+    cid_dense, _ = _encode_plane(dense, "auto")
+    # sparse clustered plane: zero background with a few dense patches (the
+    # spatial structure rc's neighbor contexts exploit)
+    clustered = np.zeros((3, 256, 256), np.int8)
+    clustered[:, 64:128, 64:192] = rng.integers(-6, 7, (3, 64, 128)).astype(np.int8)
+    clustered[:, 180:220, 30:90] = rng.integers(-12, 13, (3, 40, 60)).astype(np.int8)
+    cid_clu, _ = _encode_plane(clustered, "auto")
+    rice_d, rc_d = len(rice_encode(dense)), len(rc_encode(dense))
+    rice_c, rc_c = len(rice_encode(clustered)), len(rc_encode(clustered))
+    # the fixture planes must actually straddle the threshold
+    assert rc_d >= (1.0 - _RC_MIN_WIN) * rice_d
+    assert rc_c < (1.0 - _RC_MIN_WIN) * rice_c
+    assert cid_dense == 0 and cid_clu == 1

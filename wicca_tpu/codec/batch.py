@@ -254,6 +254,13 @@ def decode_folder(
     lookahead = prefetch if prefetch is not None else max(2, threads // 2)
 
     def _write(rec: np.ndarray, dst: Path) -> int:
+        if suffix == ".png" and rec.dtype == np.uint8:
+            # strip-parallel native writer straight from the planar array
+            # (no HWC interleave / BGR conversion; cv2 fallback inside)
+            from wicca_tpu.data.pngw import write_png
+
+            write_png(str(dst), rec)
+            return rec.nbytes
         hwc = from_planar(rec)
         if hwc.ndim == 3:
             code = cv2.COLOR_RGBA2BGRA if hwc.shape[2] == 4 else cv2.COLOR_RGB2BGR

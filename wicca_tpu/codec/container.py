@@ -46,8 +46,10 @@ Extended-header variants:
 Detail-plane codecs (both in wicca_tpu/native/entropy.cpp, formats FROZEN):
   0 rice — adaptive Rice/Golomb with zero-run blocks; fastest.
   1 rc   — context-modeled binary range coder; 10-25% smaller on clustered
-           deadzone planes. ``codec='auto'`` (default) encodes each plane
-           both ways and keeps the smaller.
+           deadzone planes but ~5-6x slower to decode. ``codec='auto'``
+           (default) encodes each plane both ways and keeps rc only when
+           it is >=5% smaller (decode-cost-aware; ``codec='rc'`` forces
+           the unconditional smaller stream).
 
 Older magics stay readable:
   WCT3 — no per-plane codec byte (all planes Rice).
@@ -216,17 +218,28 @@ def _scan_trailer_units(data: bytes) -> int | None:
     return None
 
 
+# auto policy: the rc stream must be at least this much smaller than rice to
+# be picked. rc decodes ~5-6x slower than rice (adaptive bit-by-bit range
+# decoding vs ctz-driven Rice runs); on dense/noisy planes its win is only
+# 1-4%, so paying the decode cost there made entropy decode the dominant
+# folder-decode stage (measured: a noisy 53 MP frame's level-1 planes decode
+# at 29 vs 176 MS/s for a 1.0% size win). Clustered photo detail planes win
+# 10-37% and still ride rc.
+_RC_MIN_WIN = 0.05
+
+
 def _encode_plane(plane: np.ndarray, codec: str) -> tuple[int, bytes]:
     """Entropy-code one detail plane -> (codec_id, blob) per the policy."""
     if codec == "rice" or not native_available():
         return _CODEC_RICE, rice_encode(plane)
     if codec == "rc":
         return _CODEC_RC, rc_encode(plane)
-    # auto: keep whichever is smaller (rc wins on clustered deadzone planes,
-    # rice on dense/noisy ones and is faster to decode)
+    # auto: rc only when its size win clears _RC_MIN_WIN (decode-cost-aware;
+    # see above). Forcing codec='rc' keeps the unconditional smaller-stream
+    # behavior for archival writers that never bulk-decode.
     rice_blob = rice_encode(plane)
     rc_blob = rc_encode(plane)
-    if len(rc_blob) < len(rice_blob):
+    if len(rc_blob) < (1.0 - _RC_MIN_WIN) * len(rice_blob):
         return _CODEC_RC, rc_blob
     return _CODEC_RICE, rice_blob
 

@@ -34,7 +34,7 @@ def _load():
         if os.environ.get("WICCA_TPU_NO_NATIVE"):
             return None
         try:
-            srcs = [_DIR / "entropy.cpp", _DIR / "pack.cpp", _DIR / "idwt.cpp"]
+            srcs = [_DIR / "entropy.cpp", _DIR / "pack.cpp", _DIR / "idwt.cpp", _DIR / "pngw.cpp"]
             if not _LIB_PATH.exists() or any(
                 _LIB_PATH.stat().st_mtime < s.stat().st_mtime for s in srcs
             ):
@@ -85,6 +85,13 @@ def _load():
                 [_v, _z, _z, _i] + [_v, _z, _z] * 4 + [_i, _f, _f, _f, _f, _i, _z, _z, _z, _i]
             )
             lib.wicca_dwt_haar_fwd_level.restype = None
+            # strip-parallel PNG writer (pngw.cpp / data/pngw.py)
+            lib.wicca_png_bound.argtypes = [ctypes.c_uint32] * 3 + [_i]
+            lib.wicca_png_bound.restype = _z
+            lib.wicca_png_encode_planar.argtypes = (
+                [_v, _z, _z] + [ctypes.c_uint32] * 3 + [_i, _i, _i, _v, _z]
+            )
+            lib.wicca_png_encode_planar.restype = _z
             _lib = lib
         except Exception as e:  # noqa: BLE001
             logging.warning(f"native entropy codec unavailable ({e}); using numpy fallback")
