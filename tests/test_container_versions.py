@@ -287,3 +287,30 @@ def test_codec_auto_is_decode_cost_aware():
     assert rc_d >= (1.0 - _RC_MIN_WIN) * rice_d
     assert rc_c < (1.0 - _RC_MIN_WIN) * rice_c
     assert cid_dense == 0 and cid_clu == 1
+
+
+def test_codec_auto_probe_skips_rc_on_big_dense_planes(monkeypatch):
+    """For planes above _PROBE_MIN_BYTES, auto codes every 8th row first and
+    skips the expensive full rc pass when the probed win is clearly under
+    the threshold — same codec choice, a fraction of the encode CPU."""
+    import wicca_tpu.codec.container as C
+    from wicca_tpu.native import rice as R
+
+    if not R.native_available():
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(21)
+    dense = rng.integers(-40, 41, (3, 1024, 1024)).astype(np.int8)  # 3 MB
+    calls = []
+    real_rc = R.rc_encode
+    monkeypatch.setattr(R, "rc_encode", lambda p: calls.append(p.nbytes) or real_rc(p))
+    monkeypatch.setattr(C, "rc_encode", lambda p: calls.append(p.nbytes) or real_rc(p))
+    cid, _ = C._encode_plane(dense, "auto")
+    assert cid == 0
+    # only the 1/8-row probe hit rc, never the full plane
+    assert calls and max(calls) < dense.nbytes // 4
+    # and the probe path agrees with the exact decision
+    monkeypatch.setattr(C, "_PROBE_MIN_BYTES", 1 << 60)  # force exact compare
+    cid_exact, _ = C._encode_plane(dense, "auto")
+    assert cid_exact == cid

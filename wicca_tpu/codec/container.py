@@ -228,6 +228,17 @@ def _scan_trailer_units(data: bytes) -> int | None:
 _RC_MIN_WIN = 0.05
 
 
+# auto probes big planes before paying the full rc encode: rc_encode runs at
+# ~50-100 MB/s on dense content (vs rice's 300-600), and coding every 8th
+# row predicts the full-plane rc-vs-rice size ratio to ~0.1% (measured on
+# dense and clustered planes) — so planes whose probed win falls clearly
+# under _RC_MIN_WIN skip the full rc pass entirely (~3-4 CPU-s per dense
+# 53 MP frame). The 2% margin sends borderline planes through the exact
+# comparison.
+_PROBE_MIN_BYTES = 1 << 21
+_PROBE_MARGIN = 0.02
+
+
 def _encode_plane(plane: np.ndarray, codec: str) -> tuple[int, bytes]:
     """Entropy-code one detail plane -> (codec_id, blob) per the policy."""
     if codec == "rice" or not native_available():
@@ -238,6 +249,11 @@ def _encode_plane(plane: np.ndarray, codec: str) -> tuple[int, bytes]:
     # see above). Forcing codec='rc' keeps the unconditional smaller-stream
     # behavior for archival writers that never bulk-decode.
     rice_blob = rice_encode(plane)
+    if plane.nbytes >= _PROBE_MIN_BYTES:
+        probe = np.ascontiguousarray(plane[..., ::8, :])
+        win = 1.0 - len(rc_encode(probe)) / max(len(rice_encode(probe)), 1)
+        if win < _RC_MIN_WIN - _PROBE_MARGIN:
+            return _CODEC_RICE, rice_blob
     rc_blob = rc_encode(plane)
     if len(rc_blob) < (1.0 - _RC_MIN_WIN) * len(rice_blob):
         return _CODEC_RC, rc_blob

@@ -361,9 +361,12 @@ def _emit_native_np(stream, x: np.ndarray) -> np.ndarray:
 # shared estimate would let one family's measurements misroute the other.
 # Priors are deliberately conservative (a cold first frame pays page
 # faults + band copies).
-_host_mps: dict[str, float] = {}
-_MPS_ALPHA = 0.4
-_MPS_PRIOR = {"haar": 40.0, "tiled53": 4.0, "lifting": 4.0}
+from wicca_tpu.utils.ema import RateEMA
+
+_host_mps: dict[str, RateEMA] = {
+    k: RateEMA(prior, min_units=0.25)
+    for k, prior in (("haar", 40.0), ("tiled53", 4.0), ("lifting", 4.0))
+}
 
 
 def _rate_kind(stream) -> str:
@@ -375,15 +378,13 @@ def _rate_kind(stream) -> str:
 
 
 def measured_mp_per_s(kind: str = "haar") -> float:
-    return _host_mps.get(kind, _MPS_PRIOR.get(kind, 4.0))
+    ema = _host_mps.get(kind)
+    return ema.rate() if ema is not None else 4.0
 
 
 def _record_mps(kind: str, mp: float, seconds: float) -> None:
-    if seconds <= 0 or mp < 0.25:
-        return
-    r = mp / seconds
-    prev = _host_mps.get(kind)
-    _host_mps[kind] = r if prev is None else (_MPS_ALPHA * r + (1 - _MPS_ALPHA) * prev)
+    ema = _host_mps.setdefault(kind, RateEMA(4.0, min_units=0.25))
+    ema.record(mp, seconds)
 
 
 def supported(stream) -> bool:

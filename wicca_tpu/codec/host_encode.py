@@ -34,21 +34,17 @@ from wicca_tpu.native.rice import _load as _native_lib
 _F = np.float32
 
 # measured host encode throughput (MP/s), EMA — cost-model input
-_mps: float | None = None
-_MPS_PRIOR = 40.0
-_ALPHA = 0.4
+from wicca_tpu.utils.ema import RateEMA
+
+_mps = RateEMA(40.0, min_units=0.25)
 
 
 def measured_mp_per_s() -> float:
-    return _mps if _mps is not None else _MPS_PRIOR
+    return _mps.rate()
 
 
 def _record(mp: float, seconds: float) -> None:
-    global _mps
-    if seconds <= 0 or mp < 0.25:
-        return
-    r = mp / seconds
-    _mps = r if _mps is None else (_ALPHA * r + (1 - _ALPHA) * _mps)
+    _mps.record(mp, seconds)
 
 
 def supported_encode(image: np.ndarray, wavelet: str, color: str, bit_depth: int | None,

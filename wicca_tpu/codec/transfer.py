@@ -258,17 +258,16 @@ def _row_fetcher(nrows: int, rowlen: int):
 
 
 # measured D2H link bandwidth (bytes/s), EMA over actual large fetches —
-# the input to decode_folder's host-vs-device cost model
-_link_bw: float | None = None
-_BW_ALPHA = 0.4
+# the input to decode_folder's host-vs-device cost model. No prior: None
+# means "unmeasured" and link_bandwidth(probe=True) seeds it. Sub-4MB
+# fetches are ignored (they measure latency, not bandwidth).
+from wicca_tpu.utils.ema import RateEMA
+
+_link_bw = RateEMA(None, min_units=float(1 << 22))
 
 
 def _record_bw(nbytes: int, seconds: float) -> None:
-    global _link_bw
-    if seconds <= 0 or nbytes < (1 << 22):
-        return  # small fetches measure latency, not bandwidth
-    bw = nbytes / seconds
-    _link_bw = bw if _link_bw is None else (_BW_ALPHA * bw + (1 - _BW_ALPHA) * _link_bw)
+    _link_bw.record(nbytes, seconds)
 
 
 def link_bandwidth(probe: bool = False) -> float | None:
@@ -283,7 +282,7 @@ def link_bandwidth(probe: bool = False) -> float | None:
 
     if jax.default_backend() == "cpu":
         return math.inf
-    if _link_bw is None and probe:
+    if _link_bw.rate() is None and probe:
         import time
 
         import jax.numpy as jnp
@@ -293,7 +292,7 @@ def link_bandwidth(probe: bool = False) -> float | None:
         t0 = time.perf_counter()
         np.asarray(x)
         _record_bw(1 << 23, time.perf_counter() - t0)
-    return _link_bw
+    return _link_bw.rate()
 
 
 def fetch_array_parallel(x, nstreams: int = _NSTREAMS, force: bool = False) -> np.ndarray:

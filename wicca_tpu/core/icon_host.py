@@ -26,21 +26,17 @@ import numpy as np
 
 # measured host icon throughput (MP/s over source pixels), EMA — cost-model
 # input, mirrors codec.host_decode.measured_mp_per_s
-_mps: float | None = None
-_MPS_PRIOR = 120.0
-_ALPHA = 0.4
+from wicca_tpu.utils.ema import RateEMA
+
+_mps = RateEMA(120.0, min_units=0.25)
 
 
 def measured_mp_per_s() -> float:
-    return _mps if _mps is not None else _MPS_PRIOR
+    return _mps.rate()
 
 
 def _record(mp: float, seconds: float) -> None:
-    global _mps
-    if seconds <= 0 or mp < 0.25:
-        return
-    r = mp / seconds
-    _mps = r if _mps is None else (_ALPHA * r + (1 - _ALPHA) * _mps)
+    _mps.record(mp, seconds)
 
 
 def _pad_replicate(x: np.ndarray, unit: int) -> np.ndarray:
