@@ -339,6 +339,18 @@ hd = hashlib.sha256((workdir / "wct_h" / (sorted(p.stem for p in (workdir / "wct
 dd = hashlib.sha256((workdir / "wct" / (sorted(p.stem for p in (workdir / "wct").glob("*.wct"))[0] + ".wct")).read_bytes()).hexdigest()
 {"routes": (eh["host_encoded"], em["device_encoded"] + em["host_encoded"]), "bytes_identical": hd == dd}
 """),
+    md("The host stages are themselves tuned: entropy `auto` picks the"
+       " range coder only when its size win clears a threshold (it decodes"
+       " ~5-6x slower than Rice — big planes are probed on every 8th row"
+       " before paying the full encode), and decoded frames are written by"
+       " a strip-parallel native PNG encoder (`wicca_tpu.data.pngw`)"
+       " straight from planar arrays — no interleave or BGR pass."),
+    code("""
+from wicca_tpu.data import pngw
+
+png_bytes = pngw.encode_png(x) if pngw.available() else b""
+{"native_png_writer": pngw.available(), "png_bytes": len(png_bytes)}
+"""),
     md("### Rate–distortion tooling"),
     code("""
 from wicca_tpu.codec import rd_curve

@@ -176,6 +176,8 @@ size_t wicca_png_encode_planar(const uint8_t* img, size_t c_stride, size_t r_str
   uLong adler = adler32(0L, Z_NULL, 0);
   for (auto& s : strips) {
     if (!s.ok) return 0;
+    if (s.raw_len == 0) continue;  // skipped strip: its default 0 is not the
+                                   // empty-input adler (1); just omit it
     adler = adler32_combine(adler, s.adler, static_cast<z_off_t>(s.raw_len));
   }
 
