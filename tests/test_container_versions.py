@@ -314,3 +314,23 @@ def test_codec_auto_probe_skips_rc_on_big_dense_planes(monkeypatch):
     monkeypatch.setattr(C, "_PROBE_MIN_BYTES", 1 << 60)  # force exact compare
     cid_exact, _ = C._encode_plane(dense, "auto")
     assert cid_exact == cid
+
+
+def test_codec_auto_probe_no_vertical_aliasing():
+    """The probe samples CONTIGUOUS row bands, not strided rows: ::8
+    sampling destroyed the vertical context rc exploits, under-probing its
+    win >10x on 8-row-banded content and misrouting it to rice."""
+    import wicca_tpu.codec.container as C
+    from wicca_tpu.native import rice as R
+
+    if not R.native_available():
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(33)
+    banded = np.repeat(rng.integers(-25, 26, (3, 128, 1024)).astype(np.int8), 8, axis=1)
+    assert banded.nbytes >= C._PROBE_MIN_BYTES
+    full_win = 1.0 - len(R.rc_encode(banded)) / len(R.rice_encode(banded))
+    assert full_win > 0.10  # the fixture really is rc-favorable
+    cid, _ = C._encode_plane(banded, "auto")
+    assert cid == 1

@@ -221,7 +221,12 @@ def _cmd_decode(args) -> int:
         # native-dtype emission: uint8, or uint16 for hi-depth streams
         rec = np.asarray(decode(stream, emit_u8=True))
     rec_hwc = from_planar(rec)
-    if rec_hwc.ndim == 3:
+    if args.output.lower().endswith(".png") and rec.dtype == np.uint8:
+        # strip-parallel native writer (single write: full thread budget)
+        from wicca_tpu.data.pngw import write_png
+
+        write_png(args.output, rec)
+    elif rec_hwc.ndim == 3:
         code = cv2.COLOR_RGBA2BGRA if rec_hwc.shape[2] == 4 else cv2.COLOR_RGB2BGR
         cv2.imwrite(args.output, cv2.cvtColor(rec_hwc, code))
     else:

@@ -253,13 +253,21 @@ def decode_folder(
         paths = kept
     lookahead = prefetch if prefetch is not None else max(2, threads // 2)
 
+    import os
+
+    # per-write deflate threads: writes already run `threads`-wide in the
+    # pool, so each gets its share of the cores rather than all of them
+    # (threads x cpu_count zlib threads would oversubscribe a big host)
+    ncpu = os.cpu_count() or 1
+    write_threads = max(1, ncpu // max(1, min(threads, ncpu)))
+
     def _write(rec: np.ndarray, dst: Path) -> int:
         if suffix == ".png" and rec.dtype == np.uint8:
             # strip-parallel native writer straight from the planar array
             # (no HWC interleave / BGR conversion; cv2 fallback inside)
             from wicca_tpu.data.pngw import write_png
 
-            write_png(str(dst), rec)
+            write_png(str(dst), rec, threads=write_threads)
             return rec.nbytes
         hwc = from_planar(rec)
         if hwc.ndim == 3:

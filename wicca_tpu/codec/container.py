@@ -47,9 +47,10 @@ Detail-plane codecs (both in wicca_tpu/native/entropy.cpp, formats FROZEN):
   0 rice — adaptive Rice/Golomb with zero-run blocks; fastest.
   1 rc   — context-modeled binary range coder; 10-25% smaller on clustered
            deadzone planes but ~5-6x slower to decode. ``codec='auto'``
-           (default) encodes each plane both ways and keeps rc only when
-           it is >=5% smaller (decode-cost-aware; ``codec='rc'`` forces
-           the unconditional smaller stream).
+           (default) keeps rc only when it is >=5% smaller
+           (decode-cost-aware, probing big planes on contiguous row
+           bands first); ``codec='rc'`` forces the range coder for every
+           plane (on dense/noisy planes its stream can exceed rice's).
 
 Older magics stay readable:
   WCT3 — no per-plane codec byte (all planes Rice).
@@ -246,11 +247,21 @@ def _encode_plane(plane: np.ndarray, codec: str) -> tuple[int, bytes]:
     if codec == "rc":
         return _CODEC_RC, rc_encode(plane)
     # auto: rc only when its size win clears _RC_MIN_WIN (decode-cost-aware;
-    # see above). Forcing codec='rc' keeps the unconditional smaller-stream
-    # behavior for archival writers that never bulk-decode.
+    # see above). codec='rc' above forces the range coder unconditionally.
     rice_blob = rice_encode(plane)
     if plane.nbytes >= _PROBE_MIN_BYTES:
-        probe = np.ascontiguousarray(plane[..., ::8, :])
+        # CONTIGUOUS row bands (not strided rows: ::8 sampling aliases
+        # against vertically-correlated content — it destroys the
+        # up-neighbor context rc exploits and under-probes its win by >10x
+        # on 8-row-banded planes). Two bands at 1/4 and 3/4 height cover
+        # spatially-localized content a single central band could miss.
+        h = plane.shape[-2]
+        band = max(1, h // 16)
+        rows = [
+            plane[..., max(0, h // 4 - band // 2) : h // 4 + (band + 1) // 2, :],
+            plane[..., max(0, 3 * h // 4 - band // 2) : 3 * h // 4 + (band + 1) // 2, :],
+        ]
+        probe = np.ascontiguousarray(np.concatenate(rows, axis=-2))
         win = 1.0 - len(rc_encode(probe)) / max(len(rice_encode(probe)), 1)
         if win < _RC_MIN_WIN - _PROBE_MARGIN:
             return _CODEC_RICE, rice_blob
@@ -307,7 +318,7 @@ def serialize(
 ) -> bytes:
     """CodeStream -> container bytes (detail planes entropy-coded in parallel).
 
-    ``codec``: 'auto' (default — per-plane smaller of rice/rc), 'rice'
+    ``codec``: 'auto' (default — per-plane decode-cost-aware pick), 'rice'
     (fastest), or 'rc' (context-modeled range coder). Falls back to rice when
     the native library is unavailable.
 

@@ -67,15 +67,19 @@ def encode_png(planar: np.ndarray, level: int = _DEFAULT_LEVEL,
     return out[:n].tobytes()
 
 
-def write_png(path: str, planar: np.ndarray, level: int = _DEFAULT_LEVEL) -> int:
+def write_png(path: str, planar: np.ndarray, level: int = _DEFAULT_LEVEL,
+              threads: int | None = None) -> int:
     """Write planar uint8 to ``path`` as PNG; returns encoded byte count.
     Falls back to cv2 (same pixels, different byte-level encoding) when the
-    native library is unavailable."""
+    native library is unavailable. ``threads`` caps the deflate strips —
+    callers already running many writes in parallel (decode_folder's pool)
+    should pass their per-write share instead of letting every write spawn
+    os.cpu_count() threads."""
     x = np.asarray(planar)
     if available() and x.dtype == np.uint8 and (
         x.ndim == 2 or (x.ndim == 3 and x.shape[0] in (1, 3, 4))
     ):
-        blob = encode_png(x, level)
+        blob = encode_png(x, level, threads=threads)
         with open(path, "wb") as f:
             f.write(blob)
         return len(blob)

@@ -91,7 +91,6 @@ void encode_strip(const uint8_t* img, size_t c_stride, size_t r_stride,
     }
   }
   res->raw_len = filt.size();
-  res->adler = adler32(adler32(0L, Z_NULL, 0), filt.data(), static_cast<uInt>(filt.size()));
 
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
@@ -99,23 +98,38 @@ void encode_strip(const uint8_t* img, size_t c_stride, size_t r_stride,
                    strategy) != Z_OK)
     return;
   res->deflated.resize(deflateBound(&zs, static_cast<uLong>(filt.size())) + 16);
-  zs.next_out = res->deflated.data();
-  zs.avail_out = static_cast<uInt>(res->deflated.size());
-  // feed input in sub-4GB chunks (zlib's avail_in is uInt; gigapixel strips
-  // exceed it); Z_FULL_FLUSH on the last chunk ends on a byte boundary
-  // (empty stored block, BFINAL=0) so strips concatenate into one stream
-  const size_t max_in = 1u << 30;
+  // zlib's avail_in/avail_out (and adler32's len) are uInt: feed input AND
+  // drain output in sub-4GB chunks so >4 GiB strips (gigapixel
+  // single-strip encodes) neither truncate the checksum nor the output
+  // window. Z_FULL_FLUSH on exhausted input ends the strip on a byte
+  // boundary (empty stored block, BFINAL=0) so strips concatenate into one
+  // stream; the flush is complete when deflate leaves avail_out nonzero.
+  const size_t max_io = 1u << 30;
+  res->adler = adler32(0L, Z_NULL, 0);
   size_t fed = 0;
-  bool ok = true;
-  while (fed < filt.size() && ok) {
-    size_t n = filt.size() - fed < max_in ? filt.size() - fed : max_in;
-    zs.next_in = filt.data() + fed;
-    zs.avail_in = static_cast<uInt>(n);
-    fed += n;
-    int rc = deflate(&zs, fed == filt.size() ? Z_FULL_FLUSH : Z_NO_FLUSH);
-    ok = (rc == Z_OK || rc == Z_BUF_ERROR) && zs.avail_in == 0;
+  bool ok = true, done = false;
+  int stalls = 0;
+  while (!done && ok) {
+    if (zs.avail_in == 0 && fed < filt.size()) {
+      size_t n = filt.size() - fed < max_io ? filt.size() - fed : max_io;
+      zs.next_in = filt.data() + fed;
+      zs.avail_in = static_cast<uInt>(n);
+      res->adler = adler32(res->adler, filt.data() + fed, static_cast<uInt>(n));
+      fed += n;
+    }
+    size_t out_off = static_cast<size_t>(zs.total_out);
+    size_t avail = res->deflated.size() - out_off;
+    zs.next_out = res->deflated.data() + out_off;
+    zs.avail_out = static_cast<uInt>(avail < max_io ? avail : max_io);
+    if (zs.avail_out == 0) { ok = false; break; }  // bound exceeded (never)
+    int flush = fed == filt.size() ? Z_FULL_FLUSH : Z_NO_FLUSH;
+    int rc = deflate(&zs, flush);
+    if (rc != Z_OK && rc != Z_BUF_ERROR) { ok = false; break; }
+    stalls = rc == Z_BUF_ERROR ? stalls + 1 : 0;
+    if (stalls > 2) { ok = false; break; }  // no progress — malformed state
+    done = flush == Z_FULL_FLUSH && zs.avail_in == 0 && zs.avail_out != 0;
   }
-  res->deflated.resize(zs.total_out);
+  res->deflated.resize(static_cast<size_t>(zs.total_out));
   deflateEnd(&zs);
   res->ok = ok;
 }
@@ -196,10 +210,15 @@ size_t wicca_png_encode_planar(const uint8_t* img, size_t c_stride, size_t r_str
   ihdr[11] = 0;  // filter method 0
   ihdr[12] = 0;  // no interlace
   pos += write_chunk(out + pos, "IHDR", ihdr, 13);
+  const size_t max_chunk = 1u << 30;  // PNG chunk length caps at 2^31-1
   for (auto& s : strips) {
     if (s.raw_len == 0) continue;
-    if (pos + 12 + s.deflated.size() > cap) return 0;
-    pos += write_chunk(out + pos, "IDAT", s.deflated.data(), s.deflated.size());
+    for (size_t off = 0; off < s.deflated.size(); off += max_chunk) {
+      size_t n = s.deflated.size() - off;
+      if (n > max_chunk) n = max_chunk;
+      if (pos + 12 + n > cap) return 0;
+      pos += write_chunk(out + pos, "IDAT", s.deflated.data() + off, n);
+    }
   }
   // final IDAT: BFINAL empty fixed-huffman block + the combined adler32
   uint8_t tail[6] = {0x03, 0x00, 0, 0, 0, 0};
